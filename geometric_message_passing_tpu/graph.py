@@ -1,0 +1,231 @@
+"""Static-shape graph batch container — the TPU-native replacement for PyG's
+dynamic ``Batch`` (block-diagonal concatenation, reference
+``experiments/graph_angle_prediction.py:122-124``).
+
+XLA requires static shapes: a ``GraphBatch`` is always padded to fixed
+(num_nodes, num_edges, num_graphs) bucket sizes chosen per dataset.  Padding
+discipline:
+  * pad nodes/edges are appended at the end and masked out;
+  * pad edges connect pad-node -> pad-node so gathers stay in bounds;
+  * pad nodes belong to a trailing pad graph so segment pooling stays correct;
+  * per-graph targets carry a ``graph_mask``.
+
+The container is a registered JAX pytree (flax.struct), so it flows through
+jit/pjit/shard_map directly and can be sharded along the edge/node/graph axes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class GraphBatch:
+    """A batch of graphs padded to static shapes.
+
+    Shapes: N = padded node count, E = padded edge count, G = padded graph count.
+    """
+
+    atoms: jnp.ndarray          # [N] int32 node type labels
+    pos: jnp.ndarray            # [N, 3] float positions
+    senders: jnp.ndarray        # [E] int32 source node of each edge (edge_index[0])
+    receivers: jnp.ndarray      # [E] int32 destination node (edge_index[1])
+    graph_id: jnp.ndarray       # [N] int32 graph each node belongs to
+    y: jnp.ndarray              # [G, y_dim] targets (float) or [G] int labels
+    node_mask: jnp.ndarray      # [N] bool
+    edge_mask: jnp.ndarray      # [E] bool
+    graph_mask: jnp.ndarray     # [G] bool
+    first_node: jnp.ndarray     # [G] int32 index of each graph's first node
+
+    @property
+    def num_nodes(self) -> int:
+        return self.atoms.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.graph_mask.shape[0]
+
+
+class Graph:
+    """A single host-side graph (numpy). Mirrors the fields of a PyG ``Data``
+    object as produced by the reference generators
+    (/root/reference/experiments/utils/create_graphs.py:78)."""
+
+    __slots__ = ("atoms", "edge_index", "pos", "y")
+
+    def __init__(self, atoms, edge_index, pos, y):
+        self.atoms = np.asarray(atoms, dtype=np.int32)
+        self.edge_index = np.asarray(edge_index, dtype=np.int32)  # [2, e]
+        self.pos = np.asarray(pos, dtype=np.float32)
+        self.y = np.asarray(y)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.atoms.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.edge_index.shape[1]
+
+
+def to_undirected(edge_index: np.ndarray) -> np.ndarray:
+    """Symmetrize and deduplicate edges; sorted (row-major) like PyG's
+    ``to_undirected`` (used at create_graphs.py:79)."""
+    src = np.concatenate([edge_index[0], edge_index[1]])
+    dst = np.concatenate([edge_index[1], edge_index[0]])
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    return pairs.T.astype(np.int32)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_sizes(
+    graphs: Sequence[Graph],
+    batch_size: int,
+    node_multiple: int = 8,
+    edge_multiple: int = 128,
+):
+    """Choose bucket sizes covering any ``batch_size`` window of ``graphs``.
+
+    One extra pad graph / pad node is always reserved so padding has a home.
+    """
+    max_nodes = max(g.num_nodes for g in graphs)
+    max_edges = max(g.num_edges for g in graphs)
+    n_pad = _round_up(batch_size * max_nodes + 1, node_multiple)
+    e_pad = _round_up(max(batch_size * max_edges, 1), edge_multiple)
+    g_pad = batch_size + 1
+    return n_pad, e_pad, g_pad
+
+
+def batch_graphs(
+    graphs: Sequence[Graph],
+    n_pad: int,
+    e_pad: int,
+    g_pad: int,
+    y_dtype=np.float32,
+) -> GraphBatch:
+    """Concatenate graphs block-diagonally and pad to (n_pad, e_pad, g_pad)."""
+    n_graphs = len(graphs)
+    assert n_graphs < g_pad, (n_graphs, g_pad)
+    total_nodes = sum(g.num_nodes for g in graphs)
+    total_edges = sum(g.num_edges for g in graphs)
+    assert total_nodes < n_pad, (total_nodes, n_pad)  # strict: ≥1 pad node
+    assert total_edges <= e_pad, (total_edges, e_pad)
+
+    atoms = np.zeros(n_pad, dtype=np.int32)
+    pos = np.zeros((n_pad, 3), dtype=np.float32)
+    senders = np.full(e_pad, n_pad - 1, dtype=np.int32)
+    receivers = np.full(e_pad, n_pad - 1, dtype=np.int32)
+    graph_id = np.full(n_pad, g_pad - 1, dtype=np.int32)
+    node_mask = np.zeros(n_pad, dtype=bool)
+    edge_mask = np.zeros(e_pad, dtype=bool)
+    graph_mask = np.zeros(g_pad, dtype=bool)
+    first_node = np.full(g_pad, n_pad - 1, dtype=np.int32)
+
+    ys = [np.atleast_1d(np.asarray(g.y)) for g in graphs]
+    y_dim = ys[0].shape[0] if ys else 1
+    y = np.zeros((g_pad, y_dim), dtype=y_dtype)
+
+    n_off = 0
+    e_off = 0
+    for i, g in enumerate(graphs):
+        nn, ne = g.num_nodes, g.num_edges
+        atoms[n_off : n_off + nn] = g.atoms
+        pos[n_off : n_off + nn] = g.pos
+        senders[e_off : e_off + ne] = g.edge_index[0] + n_off
+        receivers[e_off : e_off + ne] = g.edge_index[1] + n_off
+        graph_id[n_off : n_off + nn] = i
+        node_mask[n_off : n_off + nn] = True
+        edge_mask[e_off : e_off + ne] = True
+        graph_mask[i] = True
+        first_node[i] = n_off
+        y[i] = ys[i].astype(y_dtype)
+        n_off += nn
+        e_off += ne
+
+    return GraphBatch(
+        atoms=jnp.asarray(atoms),
+        pos=jnp.asarray(pos),
+        senders=jnp.asarray(senders),
+        receivers=jnp.asarray(receivers),
+        graph_id=jnp.asarray(graph_id),
+        y=jnp.asarray(y),
+        node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.asarray(edge_mask),
+        graph_mask=jnp.asarray(graph_mask),
+        first_node=jnp.asarray(first_node),
+    )
+
+
+class GraphLoader:
+    """Host-side batching iterator over a list of ``Graph``s with static
+    padded shapes — the TPU replacement for PyG DataLoader
+    (graph_angle_prediction.py:122-124). All batches share one bucket so a
+    single jit compilation covers the epoch.
+
+    The last incomplete batch is kept (like the reference's DataLoader).
+    """
+
+    def __init__(
+        self,
+        graphs: Sequence[Graph],
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        y_dtype=np.float32,
+        pad: Optional[tuple] = None,
+    ):
+        self.graphs = list(graphs)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.y_dtype = y_dtype
+        self.pad = pad or pad_sizes(self.graphs, batch_size)
+
+    def __len__(self):
+        return (len(self.graphs) + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_examples(self):
+        return len(self.graphs)
+
+    def __iter__(self):
+        order = np.arange(len(self.graphs))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        n_pad, e_pad, g_pad = self.pad
+        for i in range(0, len(order), self.batch_size):
+            chunk = [self.graphs[j] for j in order[i : i + self.batch_size]]
+            yield batch_graphs(chunk, n_pad, e_pad, g_pad, self.y_dtype)
+
+    def stacked_epochs(self, n_epochs: int, base_seed: int = 0) -> List[GraphBatch]:
+        """Materialize shuffled epochs (for scan-over-epochs training)."""
+        out = []
+        for ep in range(n_epochs):
+            out.extend(self)
+        return out
+
+
+def random_split(dataset: Sequence, fractions: Sequence[float], seed: int = 0):
+    """Deterministic random split; mirrors the 50/20/30 protocol at
+    graph_angle_prediction.py:108-119 (numpy RNG, not torch's — splits are
+    statistically equivalent, not bit-identical)."""
+    n = len(dataset)
+    sizes = [int(f * n) for f in fractions[:-1]]
+    sizes.append(n - sum(sizes))
+    perm = np.random.default_rng(seed).permutation(n)
+    out, off = [], 0
+    for s in sizes:
+        out.append([dataset[int(i)] for i in perm[off : off + s]])
+        off += s
+    return out

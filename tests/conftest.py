@@ -1,13 +1,17 @@
 """Test configuration: run all tests on a simulated 8-device CPU backend.
 
 Multi-chip sharding is validated on a virtual CPU mesh
-(XLA_FLAGS=--xla_force_host_platform_device_count=8), the JAX idiom for
-testing pjit/shard_map programs without real TPU hardware.
+(--xla_force_host_platform_device_count=8), the JAX idiom for testing
+pjit/shard_map programs without real TPU hardware.
+
+NOTE: this environment pre-sets JAX_PLATFORMS=axon (remote TPU tunnel) via a
+sitecustomize hook, so plain env-var overrides are not enough — we force the
+platform through jax.config after import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +20,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
