@@ -1,0 +1,139 @@
+"""E(n)-equivariant GNN (EGNN, Satorras et al.) and the plain MPNN baseline.
+
+TPU-native redesign of /root/reference/models/egnn.py:8-87 and
+/root/reference/models/layers/egnn_layer.py:7-155: pure-function message
+passing over padded static-shape batches; gather -> edge MLP -> masked
+segment reduction, all fused by XLA (hot path also available as a Pallas
+kernel, see ops/pallas_edge.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..graph import GraphBatch
+from ..nn.basic import ACT, MLP
+from ..ops.scatter import segment_max, segment_mean, segment_sum
+from .pooling import POOL
+
+
+_AGGR = {"sum": segment_sum, "add": segment_sum, "mean": segment_mean,
+         "max": segment_max}
+
+
+class EGNNLayer(nn.Module):
+    """One EGNN message-passing layer (egnn_layer.py:7-89).
+
+    message: m_ij = MLP([h_i, h_j, ||x_i - x_j||]);  pos message:
+    (x_i - x_j) * MLP_pos(m_ij).  Aggregation: ``aggr`` for m, mean for pos.
+    update: h' = MLP([h, m_agg]); x' = x + pos_agg.
+    """
+
+    emb_dim: int
+    activation: str = "relu"
+    norm: str = "layer"
+    aggr: str = "add"
+
+    @nn.compact
+    def __call__(self, h, pos, senders, receivers, edge_mask, train: bool = False):
+        num_nodes = h.shape[0]
+        h_i, h_j = h[receivers], h[senders]           # i = target, j = source
+        pos_diff = pos[receivers] - pos[senders]
+        dists = jnp.linalg.norm(pos_diff, axis=-1, keepdims=True)
+        msg = MLP((self.emb_dim, self.emb_dim), self.activation, self.norm,
+                  name="mlp_msg")(jnp.concatenate([h_i, h_j, dists], -1), train=train)
+        scale = MLP((self.emb_dim, 1), self.activation, self.norm,
+                    norm_final=False, act_final=False,
+                    name="mlp_pos")(msg, train=train)
+        # NOTE: mlp_pos in the reference is Linear/Norm/Act/Linear (egnn_layer.py:37-39)
+        pos_msg = pos_diff * scale
+        msg_aggr = _AGGR[self.aggr](msg, receivers, num_nodes, mask=edge_mask)
+        pos_aggr = segment_mean(pos_msg, receivers, num_nodes, mask=edge_mask)
+        upd = MLP((self.emb_dim, self.emb_dim), self.activation, self.norm,
+                  name="mlp_upd")(jnp.concatenate([h, msg_aggr], -1), train=train)
+        return upd, pos + pos_aggr
+
+
+class EGNNModel(nn.Module):
+    """EGNN with the reference constructor surface (egnn.py:12-38)."""
+
+    num_layers: int = 5
+    emb_dim: int = 128
+    in_dim: int = 1
+    out_dim: int = 1
+    activation: str = "relu"
+    norm: str = "layer"
+    aggr: str = "sum"
+    pool: str = "sum"
+    residual: bool = True
+    equivariant_pred: bool = False
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = False):
+        h = nn.Embed(self.in_dim, self.emb_dim, name="emb_in")(batch.atoms)
+        pos = batch.pos
+        for i in range(self.num_layers):
+            h_update, pos_update = EGNNLayer(
+                self.emb_dim, self.activation, self.norm, self.aggr,
+                name=f"conv_{i}",
+            )(h, pos, batch.senders, batch.receivers, batch.edge_mask, train)
+            h = h + h_update if self.residual else h_update
+            pos = pos_update  # non-residual position update (egnn.py:79)
+        if self.equivariant_pred:
+            out = POOL[self.pool](jnp.concatenate([h, pos], -1), batch)
+            return nn.Dense(self.out_dim, name="pred")(out)
+        out = POOL[self.pool](h, batch)
+        out = nn.Dense(self.emb_dim)(out)
+        out = nn.relu(out)
+        return nn.Dense(self.out_dim)(out)
+
+
+class MPNNLayer(nn.Module):
+    """Non-geometric MPNN baseline layer (egnn_layer.py:92-155)."""
+
+    emb_dim: int
+    activation: str = "relu"
+    norm: str = "layer"
+    aggr: str = "add"
+
+    @nn.compact
+    def __call__(self, h, senders, receivers, edge_mask, train: bool = False):
+        num_nodes = h.shape[0]
+        msg = MLP((self.emb_dim, self.emb_dim), self.activation, self.norm,
+                  name="mlp_msg")(
+            jnp.concatenate([h[receivers], h[senders]], -1), train=train
+        )
+        msg_aggr = _AGGR[self.aggr](msg, receivers, num_nodes, mask=edge_mask)
+        return MLP((self.emb_dim, self.emb_dim), self.activation, self.norm,
+                   name="mlp_upd")(jnp.concatenate([h, msg_aggr], -1), train=train)
+
+
+class MPNNModel(nn.Module):
+    """Positions-blind MPNN (geometric_gnn_101.ipynb cell 25 baseline)."""
+
+    num_layers: int = 4
+    emb_dim: int = 64
+    in_dim: int = 1
+    out_dim: int = 1
+    activation: str = "relu"
+    norm: str = "layer"
+    aggr: str = "sum"
+    pool: str = "sum"
+    residual: bool = True
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = False):
+        h = nn.Embed(self.in_dim, self.emb_dim, name="emb_in")(batch.atoms)
+        for i in range(self.num_layers):
+            h_update = MPNNLayer(
+                self.emb_dim, self.activation, self.norm, self.aggr,
+                name=f"conv_{i}",
+            )(h, batch.senders, batch.receivers, batch.edge_mask, train)
+            h = h + h_update if self.residual else h_update
+        out = POOL[self.pool](h, batch)
+        out = nn.Dense(self.emb_dim)(out)
+        out = nn.relu(out)
+        return nn.Dense(self.out_dim)(out)

@@ -1,0 +1,83 @@
+"""Tensor Field Network (Thomas, Smidt et al.) — TPU-native redesign of
+/root/reference/models/tfn.py:42-191."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..graph import GraphBatch
+from ..irreps import Irreps
+from ..nn.conv import TensorProductConvLayer
+from ..nn.equivariant import pad_to_irreps
+from ..ops.radial import radial_embedding
+from ..ops.spherical import spherical_harmonics
+from .pooling import POOL
+
+
+class TFNModel(nn.Module):
+    """Constructor surface mirrors tfn.py:46-64 (same defaults)."""
+
+    r_max: float = 10.0
+    num_bessel: int = 8
+    num_polynomial_cutoff: int = 5
+    max_ell: int = 2
+    num_layers: int = 5
+    emb_dim: int = 64
+    hidden_irreps: Optional[str] = None
+    mlp_dim: int = 256
+    in_dim: int = 1
+    out_dim: int = 1
+    aggr: str = "sum"
+    pool: str = "first"
+    gate: bool = True
+    batch_norm: bool = False
+    residual: bool = True
+    equivariant_pred: bool = False
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = False):
+        sh_irreps = Irreps.spherical_harmonics(self.max_ell)
+        hidden = (
+            Irreps(self.hidden_irreps)
+            if self.hidden_irreps is not None
+            else (sh_irreps * self.emb_dim).sort().simplify()
+        )
+        h = nn.Embed(self.in_dim, self.emb_dim, name="emb_in")(batch.atoms)
+
+        vectors = batch.pos[batch.senders] - batch.pos[batch.receivers]
+        lengths = jnp.linalg.norm(vectors, axis=-1, keepdims=True)
+        edge_sh = spherical_harmonics(vectors, self.max_ell)
+        edge_feats = radial_embedding(
+            lengths, self.r_max, self.num_bessel, self.num_polynomial_cutoff
+        )
+
+        for i in range(self.num_layers):
+            in_irreps = Irreps(f"{self.emb_dim}x0e") if i == 0 else hidden
+            h_update = TensorProductConvLayer(
+                in_irreps=in_irreps,
+                out_irreps=hidden,
+                sh_irreps=sh_irreps,
+                mlp_dim=self.mlp_dim,
+                aggr=self.aggr,
+                batch_norm=self.batch_norm,
+                gate=self.gate,
+                name=f"conv_{i}",
+            )(h, batch.senders, batch.receivers, edge_sh, edge_feats,
+              edge_mask=batch.edge_mask, node_mask=batch.node_mask, train=train)
+            # residual: zero-pad h to the update width (tfn.py:182)
+            h = (
+                h_update + pad_to_irreps(h, h_update.shape[-1])
+                if self.residual
+                else h_update
+            )
+
+        out = POOL[self.pool](h, batch)
+        if not self.equivariant_pred:
+            out = out[:, : self.emb_dim]  # scalar slice (tfn.py:188)
+            out = nn.Dense(self.emb_dim)(out)
+            out = nn.relu(out)
+            return nn.Dense(self.out_dim)(out)
+        return nn.Dense(self.out_dim, name="pred")(out)

@@ -1,0 +1,80 @@
+"""Scalar building blocks: activations and MLPs.
+
+The MLP block structure (Linear -> Norm -> Act, repeated) mirrors the message/
+update networks of the reference EGNN layer
+(/root/reference/models/layers/egnn_layer.py:28-48).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+ACT = {
+    "relu": nn.relu,
+    "swish": nn.silu,
+    "silu": nn.silu,
+    "sigmoid": nn.sigmoid,
+    "tanh": nn.tanh,
+    "abs": jnp.abs,
+    None: lambda x: x,
+}
+
+
+class LayerNorm(nn.Module):
+    """Standard LayerNorm (torch.nn.LayerNorm semantics: affine, eps 1e-5)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=1e-5)(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm1d over the leading (node/edge) axis with running stats."""
+
+    use_running_average: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        return nn.BatchNorm(
+            use_running_average=ura, momentum=0.9, epsilon=1e-5
+        )(x)
+
+
+class MLP(nn.Module):
+    """Linear/Norm/Act stack.
+
+    hidden: sequence of layer widths (the output width is hidden[-1]).
+    norm: None | 'layer' | 'batch' applied after every Linear except
+    (optionally) the last; activation likewise.
+    """
+
+    hidden: Sequence[int]
+    activation: str = "relu"
+    norm: Optional[str] = "layer"
+    act_final: bool = True
+    norm_final: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = ACT[self.activation]
+        n = len(self.hidden)
+        for i, width in enumerate(self.hidden):
+            x = nn.Dense(width)(x)
+            last = i == n - 1
+            if self.norm and (not last or self.norm_final):
+                if self.norm == "layer":
+                    x = nn.LayerNorm(epsilon=1e-5)(x)
+                elif self.norm == "batch":
+                    x = nn.BatchNorm(
+                        use_running_average=not train, momentum=0.9, epsilon=1e-5
+                    )(x)
+            if not last or self.act_final:
+                x = act(x)
+        return x

@@ -1,0 +1,82 @@
+"""Edge-wise Clebsch-Gordan tensor product — THE hot kernel of TFN and MACE.
+
+Replaces ``e3nn.o3.FullyConnectedTensorProduct(in_irreps, sh_irreps,
+out_irreps, shared_weights=False)`` as used at
+/root/reference/models/layers/tfn_layer.py:68-77,85.
+
+TPU-first design: instead of e3nn's per-path codegen, features are laid out
+as [E, mul, 2l+1] blocks and each CG path becomes
+    tmp[e,u,m3] = x[e,u,m1] sh[e,m2] C[m1,m2,m3]       (small VPU contraction)
+    out[e,w,m3] = W_p[e,u,w] tmp[e,u,m3]                (batched MXU matmul)
+so the FLOPs land on the MXU with mul x mul operands.  Paths sharing an
+output irrep are accumulated.  The per-edge weights come flat from an edge
+MLP (weight_numel = sum_p mul_in*mul_out), in path-enumeration order.
+
+Normalization follows e3nn defaults (irrep_normalization='component',
+path_normalization='element'): path_weight = sqrt((2l3+1)/fan_in) folded in.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..irreps import Irreps, tp_paths, wigner_3j
+from .equivariant import merge_blocks, split_blocks
+
+
+class EdgeTensorProduct:
+    """Stateless descriptor + apply for the fully-connected edge TP.
+
+    Build once per layer (python time); ``apply`` is pure jnp.
+    """
+
+    def __init__(self, irreps_in: Irreps, irreps_sh: Irreps, irreps_out: Irreps):
+        self.irreps_in = Irreps(irreps_in)
+        self.irreps_sh = Irreps(irreps_sh)
+        self.irreps_out = Irreps(irreps_out)
+        self.paths = tp_paths(self.irreps_in, self.irreps_sh, self.irreps_out)
+        assert all(p.mul_in2 == 1 for p in self.paths), "SH multiplicity must be 1"
+        self.weight_numel = sum(p.mul_in1 * p.mul_out for p in self.paths)
+        # SH block offsets
+        self._sh_offsets = []
+        ix = 0
+        for mul, ir in self.irreps_sh:
+            self._sh_offsets.append((ix, ir.dim))
+            ix += mul * ir.dim
+
+    def apply(self, x, sh, weights):
+        """x: [E, irreps_in.dim]; sh: [E, irreps_sh.dim];
+        weights: [E, weight_numel].  Returns [E, irreps_out.dim]."""
+        xs = split_blocks(x, self.irreps_in)
+        outs = [None] * len(self.irreps_out)
+        w_off = 0
+        for p in self.paths:
+            xin = xs[p.i_in1]                       # [E, u, d1]
+            off, d2 = self._sh_offsets[p.i_in2]
+            sh_blk = sh[..., off : off + d2]        # [E, d2]
+            C = jnp.asarray(
+                wigner_3j(p.ir_in1.l, p.ir_in2.l, p.ir_out.l), dtype=x.dtype
+            )
+            nW = p.mul_in1 * p.mul_out
+            W = weights[..., w_off : w_off + nW].reshape(
+                weights.shape[:-1] + (p.mul_in1, p.mul_out)
+            )
+            w_off += nW
+            tmp = jnp.einsum("...ua,...b,abm->...um", xin, sh_blk, C)
+            y = p.path_weight * jnp.einsum("...uw,...um->...wm", W, tmp)
+            outs[p.i_out] = y if outs[p.i_out] is None else outs[p.i_out] + y
+        for k, (mul, ir) in enumerate(self.irreps_out):
+            if outs[k] is None:
+                outs[k] = jnp.zeros(x.shape[:-1] + (mul, ir.dim), x.dtype)
+        return merge_blocks(outs)
+
+
+@functools.lru_cache(maxsize=None)
+def edge_tensor_product(irreps_in: Irreps, irreps_sh: Irreps,
+                        irreps_out: Irreps) -> EdgeTensorProduct:
+    return EdgeTensorProduct(irreps_in, irreps_sh, irreps_out)

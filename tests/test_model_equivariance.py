@@ -1,0 +1,181 @@
+"""Equivariance / invariance unit tests for the model zoo.
+
+Promotes the reference's notebook test harness
+(geometric_gnn_101.ipynb cells 29/56/81: permutation + rot/trans invariance
+and equivariance via allclose after random O(3) transforms) to pytest.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.stats import ortho_group, special_ortho_group
+
+from geometric_message_passing_tpu import datasets as ds
+from geometric_message_passing_tpu.graph import GraphLoader
+from geometric_message_passing_tpu.models import model_registry
+
+
+def make_batch(seed=0, rotate=None, translate=None, permute=False):
+    graphs = ds.create_star_graphs(num=3, fold=[4, 5], dim=3, seed=seed)
+    if rotate is not None or translate is not None:
+        R = rotate if rotate is not None else np.eye(3)
+        t = translate if translate is not None else np.zeros(3)
+        for g in graphs:
+            g.pos = (g.pos @ R.T + t).astype(np.float32)
+    if permute:
+        rng = np.random.default_rng(0)
+        for g in graphs:
+            perm = rng.permutation(g.num_nodes)
+            inv = np.argsort(perm)
+            g.atoms = g.atoms[perm]
+            g.pos = g.pos[perm]
+            g.edge_index = inv[g.edge_index]
+    loader = GraphLoader(graphs, batch_size=3)
+    return next(iter(loader))
+
+
+MODELS = {
+    "egnn": dict(num_layers=2, emb_dim=32),
+    "schnet": dict(num_layers=2, hidden_channels=32),
+    "gvp": dict(num_layers=2, s_dim=32, v_dim=4),
+    "tfn": dict(num_layers=2, emb_dim=16, max_ell=2, mlp_dim=32, pool="sum"),
+    "mace": dict(num_layers=2, emb_dim=8, max_ell=2, correlation=2, mlp_dim=32),
+    "mpnn": dict(num_layers=2, emb_dim=32),
+}
+if "dimenet" in model_registry:
+    MODELS["dimenet"] = dict(num_layers=2, hidden_channels=32,
+                             out_emb_channels=32, int_emb_size=16,
+                             num_spherical=4, num_radial=4)
+if "spherenet" in model_registry:
+    MODELS["spherenet"] = dict(num_layers=2, hidden_channels=32,
+                               out_emb_channels=32, int_emb_size=16,
+                               num_spherical=4, num_radial=4)
+
+
+def run_model(name, kwargs, batch, params=None):
+    model = model_registry[name](in_dim=1, out_dim=2, **kwargs)
+    needs_triplets = name in ("dimenet", "spherenet")
+    if needs_triplets:
+        from geometric_message_passing_tpu.triplets import attach_triplets
+
+        batch = attach_triplets(batch, with_quads=(name == "spherenet"))
+    if params is None:
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        return model, variables, np.asarray(model.apply(variables, batch))
+    return model, params, np.asarray(model.apply(params, batch))
+
+
+@pytest.mark.parametrize("name", sorted(MODELS))
+def test_rotation_translation_invariance(name):
+    """Invariant prediction head: output unchanged under global roto-translation
+    (geometric_gnn_101.ipynb cell 56)."""
+    kwargs = MODELS[name]
+    batch = make_batch()
+    model, variables, out0 = run_model(name, kwargs, batch)
+    R = special_ortho_group.rvs(3, random_state=1)
+    t = np.array([1.5, -2.0, 0.5])
+    batch_rt = make_batch(rotate=R, translate=t)
+    if name in ("dimenet", "spherenet"):
+        from geometric_message_passing_tpu.triplets import attach_triplets
+
+        batch_rt = attach_triplets(batch_rt, with_quads=(name == "spherenet"))
+    out1 = np.asarray(model.apply(variables, batch_rt))
+    mask = np.asarray(batch.graph_mask)
+    assert np.allclose(out0[mask], out1[mask], atol=1e-3), (
+        np.abs(out0[mask] - out1[mask]).max()
+    )
+
+
+@pytest.mark.parametrize("name", sorted(MODELS))
+def test_reflection_invariance_of_invariant_models(name):
+    """Distance/angle-based models are O(3) invariant; vector/tensor models
+    with invariant heads are too (scalar readout)."""
+    kwargs = MODELS[name]
+    batch = make_batch()
+    model, variables, out0 = run_model(name, kwargs, batch)
+    Q = -np.eye(3)  # inversion
+    batch_m = make_batch(rotate=Q)
+    if name in ("dimenet", "spherenet"):
+        from geometric_message_passing_tpu.triplets import attach_triplets
+
+        batch_m = attach_triplets(batch_m, with_quads=(name == "spherenet"))
+    out1 = np.asarray(model.apply(variables, batch_m))
+    mask = np.asarray(batch.graph_mask)
+    assert np.allclose(out0[mask], out1[mask], atol=1e-3)
+
+
+@pytest.mark.parametrize("name", sorted(MODELS))
+def test_permutation_invariance(name):
+    """Node relabeling must not change graph-level output
+    (geometric_gnn_101.ipynb cell 29)."""
+    kwargs = dict(MODELS[name])
+    if name not in ("dimenet", "spherenet"):
+        kwargs["pool"] = "sum"  # first-node pooling is permutation-sensitive by design
+    batch = make_batch()
+    model, variables, out0 = run_model(name, kwargs, batch)
+    batch_p = make_batch(permute=True)
+    if name in ("dimenet", "spherenet"):
+        from geometric_message_passing_tpu.triplets import attach_triplets
+
+        batch_p = attach_triplets(batch_p, with_quads=(name == "spherenet"))
+    out1 = np.asarray(model.apply(variables, batch_p))
+    mask = np.asarray(batch.graph_mask)
+    assert np.allclose(out0[mask], out1[mask], atol=1e-3)
+
+
+def test_egnn_equivariant_positions():
+    """EGNN's position channel transforms with the rotation
+    (geometric_gnn_101.ipynb cell 81 analog, via equivariant_pred output)."""
+    from geometric_message_passing_tpu.models import EGNNModel
+
+    batch = make_batch()
+    model = EGNNModel(num_layers=2, emb_dim=16, in_dim=1, out_dim=1,
+                      equivariant_pred=True)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out0 = np.asarray(model.apply(variables, batch))
+    R = special_ortho_group.rvs(3, random_state=2)
+    batch_r = make_batch(rotate=R)
+    out1 = np.asarray(model.apply(variables, batch_r))
+    # equivariant head consumes [h, pos]: outputs differ under rotation
+    mask = np.asarray(batch.graph_mask)
+    assert not np.allclose(out0[mask], out1[mask], atol=1e-4)
+
+
+def test_tfn_equivariant_features():
+    """TFN hidden l=1 features rotate with the input (per-layer equivariance)."""
+    from geometric_message_passing_tpu import irreps as irr
+    from geometric_message_passing_tpu.irreps import Irreps
+    from geometric_message_passing_tpu.nn.conv import TensorProductConvLayer
+    from geometric_message_passing_tpu.ops.radial import radial_embedding
+    from geometric_message_passing_tpu.ops.spherical import spherical_harmonics
+
+    batch = make_batch()
+    R = special_ortho_group.rvs(3, random_state=3)
+    batch_r = make_batch(rotate=R)
+
+    hidden = Irreps("8x0e+8x1o+8x2e")
+    layer = TensorProductConvLayer(
+        in_irreps=Irreps("8x0e"), out_irreps=hidden,
+        sh_irreps=Irreps.spherical_harmonics(2), mlp_dim=16, gate=False,
+    )
+
+    def forward(b):
+        h = jnp.ones((b.num_nodes, 8))
+        vec = b.pos[b.senders] - b.pos[b.receivers]
+        lengths = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+        sh = spherical_harmonics(vec, 2)
+        ef = radial_embedding(lengths, 10.0)
+        return h, b.senders, b.receivers, sh, ef
+
+    args = forward(batch)
+    variables = layer.init(jax.random.PRNGKey(0), *args,
+                           edge_mask=batch.edge_mask)
+    out0 = np.asarray(layer.apply(variables, *args, edge_mask=batch.edge_mask))
+    args_r = forward(batch_r)
+    out1 = np.asarray(layer.apply(variables, *args_r, edge_mask=batch_r.edge_mask))
+    D = irr.irreps_rep(hidden, R, 1.0)
+    nm = np.asarray(batch.node_mask)
+    assert np.allclose(out1[nm], out0[nm] @ D.T, atol=1e-3), (
+        np.abs(out1[nm] - out0[nm] @ D.T).max()
+    )
