@@ -24,6 +24,29 @@ from flax import struct
 
 
 @struct.dataclass
+class TripletData:
+    """Static-shape triplet (and optional quad) index structure for
+    directional models (DimeNet++/SphereNet).  T = padded triplet count,
+    Q = padded quad count.  Built host-side (structure only, positions are
+    gathered in-graph) — replaces torch_sparse CSR slicing at
+    /root/reference/models/layers/spherenet_layer.py:511-525."""
+
+    idx_i: jnp.ndarray          # [T] node i of triplet k->j->i
+    idx_j: jnp.ndarray          # [T]
+    idx_k: jnp.ndarray          # [T]
+    idx_kj: jnp.ndarray         # [T] edge id of k->j
+    idx_ji: jnp.ndarray         # [T] edge id of j->i
+    t_mask: jnp.ndarray         # [T] bool
+    q_trip: Optional[jnp.ndarray] = None   # [Q] triplet id of each quad
+    q_kn: Optional[jnp.ndarray] = None     # [Q] node id of the 4th point k_n
+    q_mask: Optional[jnp.ndarray] = None   # [Q] bool
+
+    @property
+    def num_triplets(self) -> int:
+        return self.idx_i.shape[0]
+
+
+@struct.dataclass
 class GraphBatch:
     """A batch of graphs padded to static shapes.
 
@@ -40,6 +63,7 @@ class GraphBatch:
     edge_mask: jnp.ndarray      # [E] bool
     graph_mask: jnp.ndarray     # [G] bool
     first_node: jnp.ndarray     # [G] int32 index of each graph's first node
+    triplets: Optional[TripletData] = None
 
     @property
     def num_nodes(self) -> int:
@@ -184,6 +208,9 @@ class GraphLoader:
         seed: int = 0,
         y_dtype=np.float32,
         pad: Optional[tuple] = None,
+        with_triplets: bool = False,
+        with_quads: bool = False,
+        triplet_pad: Optional[tuple] = None,
     ):
         self.graphs = list(graphs)
         self.batch_size = batch_size
@@ -191,6 +218,16 @@ class GraphLoader:
         self.rng = np.random.default_rng(seed)
         self.y_dtype = y_dtype
         self.pad = pad or pad_sizes(self.graphs, batch_size)
+        self.with_triplets = with_triplets or with_quads
+        self.with_quads = with_quads
+        if self.with_triplets:
+            from .triplets import triplet_pad_sizes
+
+            self.triplet_pad = triplet_pad or triplet_pad_sizes(
+                self.graphs, batch_size, with_quads
+            )
+        else:
+            self.triplet_pad = None
 
     def __len__(self):
         return (len(self.graphs) + self.batch_size - 1) // self.batch_size
@@ -206,7 +243,17 @@ class GraphLoader:
         n_pad, e_pad, g_pad = self.pad
         for i in range(0, len(order), self.batch_size):
             chunk = [self.graphs[j] for j in order[i : i + self.batch_size]]
-            yield batch_graphs(chunk, n_pad, e_pad, g_pad, self.y_dtype)
+            batch = batch_graphs(chunk, n_pad, e_pad, g_pad, self.y_dtype)
+            if self.with_triplets:
+                from .triplets import batch_triplets
+
+                t_pad, q_pad = self.triplet_pad
+                batch = batch.replace(
+                    triplets=batch_triplets(
+                        chunk, n_pad, e_pad, t_pad, q_pad, self.with_quads
+                    )
+                )
+            yield batch
 
     def stacked_epochs(self, n_epochs: int, base_seed: int = 0) -> List[GraphBatch]:
         """Materialize shuffled epochs (for scan-over-epochs training)."""

@@ -1,0 +1,185 @@
+"""DimeNet++ (Klicpera et al., directional message passing) — TPU-native
+redesign of /root/reference/models/dimenet.py:9-105, which wraps PyG
+``DimeNetPlusPlus`` internals.  Here embedding/interaction/output blocks are
+first-class flax modules; triplets come precomputed (static shapes) on the
+batch; the triplet gather->basis-multiply->scatter core is a masked segment
+reduction fused by XLA.
+
+NOTE the fork computes triplet angles at node i between (j-i) and (k-i)
+(dimenet.py:86-90) rather than at j like stock DimeNet — replicated exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import GraphBatch
+from ..ops.dimenet_basis import AngleEmb, DistEmb
+from ..ops.scatter import segment_sum
+from .pooling import POOL
+
+
+def glorot_orthogonal(scale: float = 2.0):
+    def init(key, shape, dtype=jnp.float32):
+        W = nn.initializers.orthogonal()(key, shape, dtype)
+        fan_in, fan_out = shape[0], shape[1]
+        W = W * jnp.sqrt(scale / ((fan_in + fan_out) * jnp.var(W)))
+        return W
+
+    return init
+
+
+def swish(x):
+    return x * nn.sigmoid(x)
+
+
+class ResidualLayer(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = swish(nn.Dense(self.hidden, kernel_init=glorot_orthogonal())(x))
+        h = swish(nn.Dense(self.hidden, kernel_init=glorot_orthogonal())(h))
+        return x + h
+
+
+class EmbeddingBlock(nn.Module):
+    """x_e = act(W [emb(z_i), emb(z_j), act(W_rbf rbf)]) (PyG EmbeddingBlock)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, atoms, rbf, senders, receivers):
+        emb = nn.Embed(
+            95, self.hidden,
+            embedding_init=nn.initializers.uniform(scale=2 * math.sqrt(3)),
+            name="emb",
+        )
+        # torch init uniform(-sqrt3, sqrt3); flax uniform is [0, scale) — shift
+        x = emb(atoms) - math.sqrt(3)
+        rbf0 = swish(nn.Dense(self.hidden)(rbf))
+        cat = jnp.concatenate([x[receivers], x[senders], rbf0], axis=-1)
+        return swish(nn.Dense(self.hidden, kernel_init=glorot_orthogonal())(cat))
+
+
+class InteractionPPBlock(nn.Module):
+    """Triplet-level directional interaction with down/up projection
+    (PyG InteractionPPBlock numerics)."""
+
+    hidden: int
+    int_emb_size: int
+    basis_emb_size: int
+    num_before_skip: int
+    num_after_skip: int
+
+    @nn.compact
+    def __call__(self, x, rbf, sbf, idx_kj, idx_ji, t_mask):
+        go = glorot_orthogonal
+        num_edges = x.shape[0]
+        x_ji = swish(nn.Dense(self.hidden, kernel_init=go())(x))
+        x_kj = swish(nn.Dense(self.hidden, kernel_init=go())(x))
+
+        rbf_p = nn.Dense(self.basis_emb_size, use_bias=False, kernel_init=go())(rbf)
+        rbf_p = nn.Dense(self.hidden, use_bias=False, kernel_init=go())(rbf_p)
+        x_kj = x_kj * rbf_p
+        x_kj = swish(nn.Dense(self.int_emb_size, use_bias=False, kernel_init=go())(x_kj))
+
+        sbf_p = nn.Dense(self.basis_emb_size, use_bias=False, kernel_init=go())(sbf)
+        sbf_p = nn.Dense(self.int_emb_size, use_bias=False, kernel_init=go())(sbf_p)
+        x_kj = x_kj[idx_kj] * sbf_p
+        x_kj = segment_sum(x_kj, idx_ji, num_edges, mask=t_mask)
+        x_kj = swish(nn.Dense(self.hidden, use_bias=False, kernel_init=go())(x_kj))
+
+        h = x_ji + x_kj
+        for _ in range(self.num_before_skip):
+            h = ResidualLayer(self.hidden)(h)
+        h = swish(nn.Dense(self.hidden, kernel_init=go())(h)) + x
+        for _ in range(self.num_after_skip):
+            h = ResidualLayer(self.hidden)(h)
+        return h
+
+
+class OutputPPBlock(nn.Module):
+    hidden: int
+    out_emb_channels: int
+    out_dim: int
+    num_output_layers: int
+
+    @nn.compact
+    def __call__(self, x, rbf, receivers, num_nodes, edge_mask):
+        go = glorot_orthogonal
+        x = nn.Dense(self.hidden, use_bias=False, kernel_init=go())(rbf) * x
+        x = segment_sum(x, receivers, num_nodes, mask=edge_mask)
+        x = nn.Dense(self.out_emb_channels, use_bias=False, kernel_init=go())(x)
+        for _ in range(self.num_output_layers):
+            x = swish(nn.Dense(self.out_emb_channels, kernel_init=go())(x))
+        return nn.Dense(self.out_dim, use_bias=False,
+                        kernel_init=nn.initializers.zeros)(x)
+
+
+class DimeNetPPModel(nn.Module):
+    """Constructor surface mirrors dimenet.py:15-33 (same defaults)."""
+
+    hidden_channels: int = 128
+    in_dim: int = 1
+    out_dim: int = 1
+    num_layers: int = 4
+    int_emb_size: int = 64
+    basis_emb_size: int = 8
+    out_emb_channels: int = 256
+    num_spherical: int = 7
+    num_radial: int = 6
+    cutoff: float = 10.0
+    max_num_neighbors: int = 32
+    envelope_exponent: int = 5
+    num_before_skip: int = 1
+    num_after_skip: int = 2
+    num_output_layers: int = 3
+    act: str = "swish"
+    pool: str = "sum"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = False):
+        assert batch.triplets is not None, "DimeNet++ needs triplet indices"
+        tri = batch.triplets
+        pos = batch.pos
+        j, i = batch.senders, batch.receivers
+
+        dist = jnp.linalg.norm(pos[i] - pos[j], axis=-1)
+        # fork's angle-at-i convention (dimenet.py:86-90)
+        pos_i = pos[tri.idx_i]
+        pos_ji = pos[tri.idx_j] - pos_i
+        pos_ki = pos[tri.idx_k] - pos_i
+        a = jnp.sum(pos_ji * pos_ki, axis=-1)
+        b = jnp.linalg.norm(jnp.cross(pos_ji, pos_ki), axis=-1)
+        angle = jnp.arctan2(b, a)
+
+        rbf = DistEmb(self.num_radial, self.cutoff, self.envelope_exponent,
+                      zero_outside=True, name="rbf")(dist)
+        sbf = AngleEmb(self.num_spherical, self.num_radial, self.cutoff,
+                       name="sbf")(dist, angle, tri.idx_kj)
+
+        x = EmbeddingBlock(self.hidden_channels, name="emb")(
+            batch.atoms, rbf, j, i
+        )
+        P = OutputPPBlock(
+            self.hidden_channels, self.out_emb_channels, self.out_dim,
+            self.num_output_layers, name="output_0",
+        )(x, rbf, i, batch.num_nodes, batch.edge_mask)
+
+        for blk in range(self.num_layers):
+            x = InteractionPPBlock(
+                self.hidden_channels, self.int_emb_size, self.basis_emb_size,
+                self.num_before_skip, self.num_after_skip,
+                name=f"interaction_{blk}",
+            )(x, rbf, sbf, tri.idx_kj, tri.idx_ji, tri.t_mask)
+            P = P + OutputPPBlock(
+                self.hidden_channels, self.out_emb_channels, self.out_dim,
+                self.num_output_layers, name=f"output_{blk + 1}",
+            )(x, rbf, i, batch.num_nodes, batch.edge_mask)
+
+        return POOL[self.pool](P, batch)

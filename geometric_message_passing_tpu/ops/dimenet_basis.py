@@ -1,0 +1,274 @@
+"""DimeNet/SphereNet basis functions: spherical Bessel x spherical harmonics.
+
+TPU-native replacement for the sympy runtime codegen of
+/root/reference/models/layers/spherenet_layer.py:241-490 (and PyG's
+BesselBasisLayer/SphericalBasisLayer used via dimenet.py:92-93): all symbolic
+work is reduced to *coefficient tables* built once in float64 numpy at module
+construction; in-graph evaluation is Horner polynomials + sin/cos on the VPU.
+
+Math:
+  * spherical Bessel  j_l(x) = (s_l(x^2) sin x + x c_l(x^2) cos x) / x^(l+1)
+    with integer-coefficient polynomials from the recursion
+    j_l = (2l-1)/x j_{l-1} - j_{l-2}.
+  * zeros z_{l,k} of j_l by interlaced bisection from z_{0,k} = k*pi
+    (same math as spherenet_layer.py:245-257).
+  * normalized basis:  n_{l,k} j_l(z_{l,k} * d/c),
+    n_{l,k} = 1/sqrt(0.5 * j_{l+1}(z_{l,k})^2).
+  * real SH in spherical coords (DimeNet convention, spherenet_layer.py:296-375):
+    Y_l0(theta) = pref(l,0) P_l(cos theta);
+    Y_lm(theta,phi) = sqrt2 pref(l,m) sin^m(theta) cos(m phi) Ptilde_lm(cos theta)  (m>0)
+    Y_l,-m(...)     = sqrt2 pref(l,m) sin^m(theta) sin(m phi) Ptilde_lm(cos theta)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+from scipy import optimize, special
+
+
+# ---------------------------------------------------------------------------
+# Coefficient tables (build-time, float64)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _sph_bessel_poly(l: int) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+    """Coefficients (ascending powers of x^2) of s_l and c_l with
+    j_l(x) = (s_l(x^2) * sin x + x * c_l(x^2) * cos x) / x^(l+1)."""
+    s = [np.array([1.0]), np.array([1.0])]      # s_0 = 1, s_1 = 1
+    c = [np.array([0.0]), np.array([-1.0])]     # c_0 = 0, x*c_1 = -x
+    for ll in range(2, l + 1):
+        # s_l = (2l-1) s_{l-1} - u * s_{l-2}   (u = x^2)
+        a = (2 * ll - 1) * s[ll - 1]
+        b = np.concatenate([[0.0], s[ll - 2]])
+        n = max(len(a), len(b))
+        s.append(np.pad(a, (0, n - len(a))) - np.pad(b, (0, n - len(b))))
+        a = (2 * ll - 1) * c[ll - 1]
+        b = np.concatenate([[0.0], c[ll - 2]])
+        n = max(len(a), len(b))
+        c.append(np.pad(a, (0, n - len(a))) - np.pad(b, (0, n - len(b))))
+    return tuple(s[l]), tuple(c[l])
+
+
+def _jl_np(l: int, x: np.ndarray) -> np.ndarray:
+    """float64 spherical Bessel for normalizer computation."""
+    return special.spherical_jn(l, x)
+
+
+@functools.lru_cache(maxsize=None)
+def bessel_zeros(num_spherical: int, num_radial: int) -> Tuple[Tuple[float, ...], ...]:
+    """First num_radial positive zeros of j_l for l < num_spherical
+    (interlacing property: zeros of j_l separate zeros of j_{l+1})."""
+    zeros = [tuple((np.arange(1, num_radial + num_spherical) * math.pi).tolist())]
+    for l in range(1, num_spherical):
+        prev = zeros[-1]
+        row = []
+        for k in range(len(prev) - 1):
+            row.append(
+                optimize.brentq(lambda x: _jl_np(l, x), prev[k], prev[k + 1])
+            )
+        zeros.append(tuple(row))
+    return tuple(tuple(z[:num_radial]) for z in zeros)
+
+
+@functools.lru_cache(maxsize=None)
+def bessel_normalizers(num_spherical: int, num_radial: int):
+    z = bessel_zeros(num_spherical, num_radial)
+    out = []
+    for l in range(num_spherical):
+        out.append(
+            tuple(
+                float(1.0 / math.sqrt(0.5 * _jl_np(l + 1, zk) ** 2))
+                for zk in z[l]
+            )
+        )
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _legendre_tilde(num_spherical: int) -> Tuple[Tuple[Tuple[float, ...], ...], ...]:
+    """Ptilde_lm(z) = P_lm(z) / (1-z^2)^(m/2) coefficient tables (ascending z
+    powers), via the reference's polynomial recursions
+    (spherenet_layer.py:301-323) re-derived in numpy."""
+    P = [[None] * (l + 1) for l in range(num_spherical)]
+    P[0][0] = np.array([1.0])
+    if num_spherical > 1:
+        P[1][0] = np.array([0.0, 1.0])  # z
+        for l in range(2, num_spherical):
+            # P_l0 = ((2l-1) z P_{l-1,0} - (l-1) P_{l-2,0}) / l
+            a = np.concatenate([[0.0], P[l - 1][0]]) * (2 * l - 1)
+            b = P[l - 2][0] * (l - 1)
+            n = max(len(a), len(b))
+            P[l][0] = (np.pad(a, (0, n - len(a))) - np.pad(b, (0, n - len(b)))) / l
+        for m in range(1, num_spherical):
+            # Ptilde_mm = (1-2m) Ptilde_{m-1,m-1}
+            P[m][m] = (1 - 2 * m) * P[m - 1][m - 1]
+            if m + 1 < num_spherical:
+                P[m + 1][m] = (2 * m + 1) * np.concatenate([[0.0], P[m][m]])
+            for l in range(m + 2, num_spherical):
+                a = np.concatenate([[0.0], P[l - 1][m]]) * (2 * l - 1)
+                b = P[l - 2][m] * (l + m - 1)
+                n = max(len(a), len(b))
+                P[l][m] = (
+                    np.pad(a, (0, n - len(a))) - np.pad(b, (0, n - len(b)))
+                ) / (l - m)
+    return tuple(tuple(tuple(c) for c in row if c is not None) for row in P)
+
+
+def _sph_prefactor(l: int, m: int) -> float:
+    return math.sqrt(
+        (2 * l + 1)
+        * math.factorial(l - abs(m))
+        / (4 * math.pi * math.factorial(l + abs(m)))
+    )
+
+
+def _horner(coeffs, x):
+    acc = jnp.zeros_like(x) + coeffs[-1]
+    for c in coeffs[-2::-1]:
+        acc = acc * x + c
+    return acc
+
+
+def spherical_bessel_jl(l: int, x, eps: float = 1e-6):
+    """j_l evaluated via the closed form (safe at x -> 0 by clamping; callers
+    mask padded entries)."""
+    s, c = _sph_bessel_poly(l)
+    x = jnp.maximum(x, eps)
+    u = x * x
+    num = _horner(s, u) * jnp.sin(x) + x * _horner(c, u) * jnp.cos(x)
+    return num / x ** (l + 1)
+
+
+# ---------------------------------------------------------------------------
+# Embedding modules
+# ---------------------------------------------------------------------------
+
+
+class DistEmb(nn.Module):
+    """Trainable-frequency Bessel distance embedding with 1/x envelope
+    (spherenet_layer.py:394-409 == PyG BesselBasisLayer numerics).
+
+    zero_outside: PyG's BesselBasisLayer multiplies by (x < 1); SphereNet's
+    Envelope does not — both behaviors available."""
+
+    num_radial: int
+    cutoff: float = 5.0
+    envelope_exponent: int = 5
+    zero_outside: bool = False
+
+    @nn.compact
+    def __call__(self, dist):
+        freq = self.param(
+            "freq",
+            lambda key: jnp.asarray(
+                np.arange(1, self.num_radial + 1) * math.pi, dtype=jnp.float32
+            ),
+        )
+        x = (dist / self.cutoff)[..., None]
+        p = self.envelope_exponent + 1
+        a = -(p + 1) * (p + 2) / 2.0
+        b = p * (p + 2.0)
+        c = -p * (p + 1) / 2.0
+        xs = jnp.maximum(x, 1e-9)
+        env = 1.0 / xs + a * x ** (p - 1) + b * x**p + c * x ** (p + 1)
+        if self.zero_outside:
+            env = env * (x < 1.0)
+        return env * jnp.sin(freq * x)
+
+
+class AngleEmb(nn.Module):
+    """2D (distance x angle) basis: n_{l,k} j_l(z_{l,k} d/c) * Y_l0(angle)
+    (spherenet_layer.py:412-449 == PyG SphericalBasisLayer minus envelope).
+
+    forward(dist[E], angle[T], idx_kj[T]) -> [T, num_spherical*num_radial]."""
+
+    num_spherical: int
+    num_radial: int
+    cutoff: float = 5.0
+
+    @nn.compact
+    def __call__(self, dist, angle, idx_kj):
+        ns, nr = self.num_spherical, self.num_radial
+        zeros = bessel_zeros(ns, nr)
+        norms = bessel_normalizers(ns, nr)
+        d = dist / self.cutoff
+        rbf = jnp.stack(
+            [
+                norms[l][k] * spherical_bessel_jl(l, zeros[l][k] * d)
+                for l in range(ns)
+                for k in range(nr)
+            ],
+            axis=1,
+        )  # [E, ns*nr]
+        cos_t = jnp.cos(angle)
+        leg = _legendre_tilde(ns)
+        cbf = jnp.stack(
+            [_sph_prefactor(l, 0) * _horner(leg[l][0], cos_t) for l in range(ns)],
+            axis=1,
+        )  # [T, ns]
+        out = rbf[idx_kj].reshape(-1, ns, nr) * cbf[:, :, None]
+        return out.reshape(-1, ns * nr)
+
+
+class TorsionEmb(nn.Module):
+    """3D (distance x angle x torsion) basis over full Y_lm
+    (spherenet_layer.py:452-490).
+
+    forward(dist[E], angle[T], phi[T], idx_kj[T]) -> [T, ns*ns*nr].
+    Output channel layout matches the reference: for each l, the m-row is
+    broadcast over the ns slots via (rbf view [-1,1,ns? ...]) — concretely
+    out = (rbf[idx_kj] [T,1,ns? ...]) see below."""
+
+    num_spherical: int
+    num_radial: int
+    cutoff: float = 5.0
+
+    @nn.compact
+    def __call__(self, dist, angle, phi, idx_kj):
+        ns, nr = self.num_spherical, self.num_radial
+        zeros = bessel_zeros(ns, nr)
+        norms = bessel_normalizers(ns, nr)
+        d = dist / self.cutoff
+        rbf = jnp.stack(
+            [
+                norms[l][k] * spherical_bessel_jl(l, zeros[l][k] * d)
+                for l in range(ns)
+                for k in range(nr)
+            ],
+            axis=1,
+        )  # [E, ns*nr]
+        cos_t = jnp.cos(angle)
+        sin_t = jnp.sin(angle)
+        leg = _legendre_tilde(ns)
+        # Y_lm(theta, phi) for all l<ns, m=-l..l, padded into an ns*ns grid:
+        # the reference flattens cbf as [T, ns, ns] where row l holds its
+        # (2l+1) m-components followed by... (sph_funcs appended in order l,
+        # then m=-l..l) — total sum(2l+1) = ns^2 entries exactly.
+        comps = []
+        for l in range(ns):
+            if l == 0:
+                comps.append(_sph_prefactor(0, 0) * jnp.ones_like(cos_t))
+                continue
+            # reference channel order within l: m = 0, +1..+l, -l..-1
+            # (spherenet_layer.py:476-478 indexing Y[l][k+l] over a list laid
+            # out as [m0, m1..ml, m-l..m-1])
+            for m in list(range(0, l + 1)) + list(range(-l, 0)):
+                am = abs(m)
+                pt = _horner(leg[l][am], cos_t) * sin_t**am
+                pref = _sph_prefactor(l, am)
+                if m == 0:
+                    comps.append(pref * pt)
+                elif m > 0:
+                    comps.append(math.sqrt(2.0) * pref * jnp.cos(m * phi) * pt)
+                else:
+                    comps.append(math.sqrt(2.0) * pref * jnp.sin(am * phi) * pt)
+        cbf = jnp.stack(comps, axis=1)  # [T, ns*ns]
+        out = rbf[idx_kj].reshape(-1, 1, ns, nr) * cbf.reshape(-1, ns, ns, 1)
+        return out.reshape(-1, ns * ns * nr)

@@ -87,10 +87,12 @@ def test_rotation_translation_invariance(name):
     )
 
 
-@pytest.mark.parametrize("name", sorted(MODELS))
+@pytest.mark.parametrize("name", sorted(set(MODELS) - {"spherenet"}))
 def test_reflection_invariance_of_invariant_models(name):
     """Distance/angle-based models are O(3) invariant; vector/tensor models
-    with invariant heads are too (scalar readout)."""
+    with invariant heads are too (scalar readout).  SphereNet is excluded:
+    its torsion channel is chirality-sensitive by design (signed dihedral,
+    spherenet_layer.py:556-559)."""
     kwargs = MODELS[name]
     batch = make_batch()
     model, variables, out0 = run_model(name, kwargs, batch)
