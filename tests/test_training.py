@@ -1,0 +1,102 @@
+"""End-to-end training smoke tests + expressivity behavior checks.
+
+The k-chains / rotsym outcomes are the reference's behavioral test suite
+(SURVEY §4 / BASELINE.md): correctness is defined by which models CAN solve
+which synthetic task.
+"""
+
+import numpy as np
+import pytest
+
+from geometric_message_passing_tpu import datasets as ds
+from geometric_message_passing_tpu.experiments import (
+    fit_classification,
+    fit_regression,
+    run_experiment,
+)
+from geometric_message_passing_tpu.experiments.train import seed_everything
+from geometric_message_passing_tpu.graph import GraphLoader, random_split
+from geometric_message_passing_tpu.models import EGNNModel, MPNNModel, model_registry
+
+
+def test_regression_learns_star_angles():
+    """EGNN on the star max-angle task must beat the trivial predictor
+    within a few epochs (sanity that gradients flow end to end)."""
+    data = ds.create_star_graphs(num=60, fold=[4], dim=3, seed=0)
+    tr, va, te = random_split(data, [0.5, 0.2, 0.3], seed=0)
+    kw = dict(batch_size=20)
+    tr_l = GraphLoader(tr, shuffle=True, seed=0, **kw)
+    va_l = GraphLoader(va, **kw)
+    te_l = GraphLoader(te, **kw)
+    model = EGNNModel(num_layers=2, emb_dim=32, in_dim=1, out_dim=1, pool="first")
+    variables = model.init(seed_everything(0), next(iter(tr_l)))
+    res = fit_regression(model, variables, tr_l, va_l, te_l, n_epochs=40,
+                         lr=5e-4)
+    ys = np.concatenate([g.y for g in tr])
+    trivial = np.abs(ys - ys.mean()).mean()
+    assert res.best_val < trivial, (res.best_val, trivial)
+    # learning happened: early-epoch val MAE is much worse than final
+    assert res.perf_per_epoch[0, 1] > 1.5 * res.best_val
+
+
+def test_kchains_depth_requirement():
+    """k-chains (k=4): a geometric model with >= k/2+1 layers separates the
+    pair; a position-blind MPNN never can (the two chains are isomorphic with
+    identical edge lengths — only angles differ). (kchains.ipynb cells 2-4)."""
+    k = 4
+    data = ds.create_kchains(k)
+    loader = GraphLoader(data, batch_size=2, y_dtype=np.int32)
+
+    def acc(model, seed=0, n_epochs=200):
+        variables = model.init(seed_everything(seed), next(iter(loader)))
+        res = fit_classification(
+            model, variables, loader, loader, loader, n_epochs=n_epochs,
+            lr=1e-3, seed=seed,
+        )
+        return res.test
+
+    # EGNN with k//2+1 layers: both ends reach the center -> separable
+    egnn = EGNNModel(num_layers=k // 2 + 1, emb_dim=32, in_dim=1, out_dim=2)
+    assert acc(egnn) == 100.0
+    # position-blind MPNN cannot separate them at any depth
+    mpnn = MPNNModel(num_layers=k // 2 + 1, emb_dim=32, in_dim=1, out_dim=2)
+    assert acc(mpnn) <= 50.0
+
+
+@pytest.mark.parametrize("name,should_solve", [("egnn", False), ("tfn", True)])
+def test_rotsym_expressivity(name, should_solve):
+    """rotsym fold=3, 1 layer, equivariant_pred: cartesian-vector models
+    (EGNN) fail at 50%; spherical-tensor models (TFN, max_ell >= fold)
+    succeed. (rotsym.ipynb cells 2-4; BASELINE.md)."""
+    fold = 3
+    data = ds.create_rotsym_envs(fold=fold)
+    loader = GraphLoader(data, batch_size=2, y_dtype=np.int32)
+    if name == "egnn":
+        model = model_registry[name](
+            num_layers=1, emb_dim=32, in_dim=1, out_dim=2,
+            equivariant_pred=True, pool="sum",
+        )
+    else:
+        # pool="first" (TFN's default): the center node carries the l=fold
+        # signature; under sum pooling the odd-l contributions of center and
+        # spokes cancel exactly.
+        model = model_registry[name](
+            num_layers=1, emb_dim=8, max_ell=fold, mlp_dim=32, in_dim=1,
+            out_dim=2, equivariant_pred=True, pool="first", gate=False,
+        )
+    variables = model.init(seed_everything(0), next(iter(loader)))
+    res = fit_classification(model, variables, loader, loader, loader,
+                             n_epochs=150, lr=1e-3, seed=0)
+    if should_solve:
+        assert res.test == 100.0
+    else:
+        assert res.test <= 50.0
+
+
+def test_classification_repeat_protocol_reuses_params():
+    data = ds.create_kchains(2)
+    loader = GraphLoader(data, batch_size=2, y_dtype=np.int32)
+    model = MPNNModel(num_layers=2, emb_dim=16, in_dim=1, out_dim=2)
+    bv, ta, times = run_experiment(model, loader, loader, loader, n_epochs=5,
+                                   n_times=2)
+    assert len(ta) == 2
