@@ -1,0 +1,88 @@
+"""Benchmark: EGNN angle-regression training, reference headline config.
+
+Reference baseline (BASELINE.md): EGNN 4 layers x 200 epochs on the star
+dataset, n_data=1400, batch_size=100, lr 5e-4 -> train_time ~26 s/run
+(exp_history.json `train_time`; hardware unrecorded).
+
+Here the whole 200-epoch experiment (train steps, val/test evals, best-val
+rule, plateau LR schedule) is ONE jit-compiled lax.scan program on the TPU.
+Reported value = steady-state train_time of the full run (a warmup run pays
+compilation; the compiled program is also persisted to a local JAX
+compilation cache so subsequent bench invocations skip compile entirely).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+# persistent compile cache so repeat bench runs skip XLA compilation
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BASELINE_TRAIN_TIME_S = 26.0  # BASELINE.md: EGNN 4L x 200ep train_time
+
+
+def main():
+    t_setup = time.time()
+    from geometric_message_passing_tpu import datasets as ds
+    from geometric_message_passing_tpu.experiments.train import (
+        fit_regression,
+        seed_everything,
+    )
+    from geometric_message_passing_tpu.graph import GraphLoader, pad_sizes, random_split
+    from geometric_message_passing_tpu.models import EGNNModel
+
+    n_data, batch_size, n_epochs, n_layers = 1400, 100, 200, 4
+    data = ds.create_star_graphs(num=n_data, fold=[5, 6, 7], dim=3,
+                                 target="max", seed=0)
+    tr, va, te = random_split(data, [0.5, 0.2, 0.3], seed=0)
+    pad = pad_sizes(data, batch_size)
+    kw = dict(batch_size=batch_size, pad=pad)
+    tr_l = GraphLoader(tr, shuffle=True, seed=0, **kw)
+    va_l = GraphLoader(va, **kw)
+    te_l = GraphLoader(te, **kw)
+
+    model = EGNNModel(num_layers=n_layers, emb_dim=128, in_dim=1, out_dim=1,
+                      pool="first")
+    variables = model.init(seed_everything(0), next(iter(tr_l)))
+    setup_time = time.time() - t_setup
+
+    # warmup run (includes XLA compile; persisted to cache)
+    warm = fit_regression(model, variables, tr_l, va_l, te_l,
+                          n_epochs=n_epochs, lr=5e-4, seed=0)
+    # measured run (steady state)
+    res = fit_regression(model, variables, tr_l, va_l, te_l,
+                         n_epochs=n_epochs, lr=5e-4, seed=1)
+
+    edges_per_epoch = sum(g.num_edges for g in tr)
+    # fwd+bwd per train step; 200 epochs
+    edges_per_sec = edges_per_epoch * n_epochs / res.train_time
+
+    result = {
+        "metric": "egnn_star_train_time_4l_200ep",
+        "value": round(res.train_time, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_TRAIN_TIME_S / res.train_time, 2),
+        "baseline_s": BASELINE_TRAIN_TIME_S,
+        "test_mae": round(res.test, 5),
+        "best_val_mae": round(res.best_val, 5),
+        "warmup_incl_compile_s": round(warm.train_time, 2),
+        "train_edges_per_sec": round(edges_per_sec, 0),
+        "setup_s": round(setup_time, 2),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Angle-prediction experiment CLI — mirrors
+/root/reference/experiments/graph_angle_prediction.py:33-175 flag-for-flag.
+
+Usage:
+    python -m geometric_message_passing_tpu.experiments.cli \
+        --model mace --dataset paired_star --fold 5 6 7 --n_pairs 2 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+
+import numpy as np
+
+from .. import datasets as ds
+from ..graph import GraphLoader, random_split
+from ..models import model_registry
+from .ledger import append_result
+from .train import run_experiment_reg
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Graph angle prediction (TPU-native harness)."
+    )
+    p.add_argument("--model", type=str, required=True)
+    p.add_argument("--dataset", type=str, required=True)
+    p.add_argument("--pool", type=str, default="mean")
+    p.add_argument("--max_corr", type=int, default=3)
+    p.add_argument("--max_ell", type=int, default=3)
+    p.add_argument("--n_epochs", type=int, default=600)
+    p.add_argument("--n_layers", type=int, default=2)
+    p.add_argument("--n_data", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--fold", type=int, nargs="+")
+    p.add_argument("--n_nodes", type=int, nargs="+")
+    p.add_argument("--n_pairs", type=int)
+    p.add_argument("--cosine", action="store_true")
+    p.add_argument("--equivariant", action="store_true")
+    p.add_argument("--loss_mask", action="store_true")
+    p.add_argument("--n_times", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=100)
+    p.add_argument("--results_file", type=str, default="exp_history.json")
+    return p
+
+
+def make_dataset(args):
+    if args.dataset == "star":
+        data = ds.create_star_graphs(num=args.n_data, fold=args.fold, dim=3,
+                                     target="max")
+        model_args = dict(num_layers=args.n_layers, in_dim=1, out_dim=1)
+    elif args.dataset == "paired_star":
+        data = ds.create_paired_star_graphs(num=args.n_data, fold=args.fold,
+                                            dim=3, n_pairs=args.n_pairs)
+        model_args = dict(num_layers=args.n_layers, in_dim=args.n_pairs + 2,
+                          out_dim=args.n_pairs)
+    elif args.dataset == "paired_star2":
+        data = ds.create_paired_star_graphs_with_two_centers(
+            num=args.n_data, fold=args.fold, dim=3, n_pairs=args.n_pairs
+        )
+        model_args = dict(num_layers=args.n_layers, in_dim=args.n_pairs + 2,
+                          out_dim=args.n_pairs * 2)
+    elif args.dataset == "complete":
+        data = ds.create_paired_complete_graphs(
+            num=args.n_data, n_nodes=args.n_nodes, dim=3, n_pairs=args.n_pairs
+        )
+        model_args = dict(num_layers=args.n_layers, in_dim=args.n_pairs + 2,
+                          out_dim=args.n_pairs)
+    else:
+        raise SystemExit(f"unknown dataset {args.dataset}")
+    return data, model_args
+
+
+def make_model_func(args):
+    name = args.model
+    base = model_registry[name]
+    if name in ("schnet", "dimenet", "spherenet"):
+        return base  # node-level config flags not applicable (reference TODO)
+    if name == "tfn":
+        return partial(base, max_ell=args.max_ell,
+                       equivariant_pred=args.equivariant, pool=args.pool)
+    if name == "mace":
+        return partial(base, max_ell=args.max_ell, correlation=args.max_corr,
+                       equivariant_pred=args.equivariant, pool=args.pool)
+    return partial(base, equivariant_pred=args.equivariant, pool=args.pool)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    data, model_args = make_dataset(args)
+
+    tr, va, te = random_split(data, [0.5, 0.2, 0.3], seed=0)
+    needs_tri = args.model in ("dimenet", "spherenet")
+    needs_quads = args.model == "spherenet"
+    from ..graph import pad_sizes
+
+    pad = pad_sizes(data, args.batch_size)
+    tri_pad = None
+    if needs_tri:
+        from ..triplets import triplet_pad_sizes
+
+        tri_pad = triplet_pad_sizes(data, args.batch_size, needs_quads)
+    kw = dict(batch_size=args.batch_size, pad=pad, with_triplets=needs_tri,
+              with_quads=needs_quads, triplet_pad=tri_pad)
+    train_loader = GraphLoader(tr, shuffle=True, seed=0, **kw)
+    val_loader = GraphLoader(va, **kw)
+    test_loader = GraphLoader(te, **kw)
+
+    model_func = make_model_func(args)
+    loss_mask = args.dataset == "paired_star2" and args.loss_mask
+
+    t0 = time.time()
+    best_val, test_mae, train_time, mean, std = run_experiment_reg(
+        model_func, model_args, train_loader, val_loader, test_loader,
+        n_epochs=args.n_epochs, n_times=args.n_times, verbose=True,
+        cosine=args.cosine, lr=args.lr, loss_mask=loss_mask,
+    )
+    print(f"Test MAE {mean:.5f} ± {std:.5f}  (total {time.time()-t0:.1f}s)")
+
+    record = vars(args).copy()
+    record.update(
+        best_val_acc=best_val, test_acc=test_mae, train_time=train_time,
+        mean=mean, std=std,
+    )
+    append_result(args.results_file, record)
+    return mean
+
+
+if __name__ == "__main__":
+    main()

@@ -282,7 +282,11 @@ def fit(
 
 
 def _stage_epochs(loader: GraphLoader, n_epochs: int) -> GraphBatch:
-    """Materialize all shuffled epochs and stack to [n_epochs, steps, ...]."""
+    """Materialize all shuffled epochs and stack to [n_epochs, steps, ...].
+    Uses the native C++ batcher when available."""
+    fast = loader.stage_epochs(n_epochs)
+    if fast is not None:
+        return fast
     steps = len(loader)
     epochs = []
     for _ in range(n_epochs):

@@ -262,6 +262,45 @@ class GraphLoader:
             out.extend(self)
         return out
 
+    def stage_epochs(self, n_epochs: int) -> Optional[GraphBatch]:
+        """Fast path: build every batch of ``n_epochs`` shuffled epochs with
+        the native C++ batcher in one shot; returns a GraphBatch with leading
+        dims [n_epochs, steps] or None when unavailable (triplets needed or
+        no toolchain)."""
+        if self.with_triplets:
+            return None
+        try:
+            from .native import fast_build_batches
+            from .native.batch import FlatDataset
+        except Exception:
+            return None
+        if not hasattr(self, "_flat"):
+            self._flat = FlatDataset(self.graphs)
+        n_pad, e_pad, g_pad = self.pad
+        steps = len(self)
+        chunks = []
+        for _ in range(n_epochs):
+            order = np.arange(len(self.graphs))
+            if self.shuffle:
+                self.rng.shuffle(order)
+            out = fast_build_batches(self._flat, order, self.batch_size,
+                                     n_pad, e_pad, g_pad)
+            if out is None:
+                return None
+            chunks.append(out)
+        stacked = {
+            k: np.stack([c[k] for c in chunks]).reshape(
+                (n_epochs, steps) + chunks[0][k].shape[1:]
+            )
+            for k in chunks[0]
+        }
+        for k in ("node_mask", "edge_mask", "graph_mask"):
+            stacked[k] = stacked[k].astype(bool)
+        return GraphBatch(
+            triplets=None,
+            **{k: jnp.asarray(v) for k, v in stacked.items()},
+        )
+
 
 def random_split(dataset: Sequence, fractions: Sequence[float], seed: int = 0):
     """Deterministic random split; mirrors the 50/20/30 protocol at

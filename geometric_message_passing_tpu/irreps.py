@@ -207,7 +207,7 @@ def _su2_cg(j1: int, j2: int, j3: int) -> np.ndarray:
     Indices ordered m = -j .. j.  Returns float64 [2j1+1, 2j2+1, 2j3+1].
     """
     from sympy import S
-    from sympy.physics.quantum.cg import CG
+    from sympy.physics.wigner import clebsch_gordan
 
     C = np.zeros((2 * j1 + 1, 2 * j2 + 1, 2 * j3 + 1))
     if not (abs(j1 - j2) <= j3 <= j1 + j2):
@@ -218,7 +218,7 @@ def _su2_cg(j1: int, j2: int, j3: int) -> np.ndarray:
             if abs(m3) > j3:
                 continue
             C[j1 + m1, j2 + m2, j3 + m3] = float(
-                CG(S(j1), S(m1), S(j2), S(m2), S(j3), S(m3)).doit()
+                clebsch_gordan(S(j1), S(j2), S(j3), S(m1), S(m2), S(m3))
             )
     return C
 
@@ -433,8 +433,50 @@ def _wigner_nj(irreps_list: List[Irreps]) -> List[Tuple[Irrep, np.ndarray]]:
     return sorted(ret, key=lambda x: (x[0].l, -x[0].p))
 
 
+_DISK_CACHE_DIR = None
+
+
+def set_disk_cache(path: str):
+    """Enable an on-disk npz cache for expensive build-time tensors
+    (U matrices). Safe to share across processes."""
+    global _DISK_CACHE_DIR
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    _DISK_CACHE_DIR = path
+
+
+def _disk_cache_load(key: str):
+    if _DISK_CACHE_DIR is None:
+        return None
+    import os
+
+    f = f"{_DISK_CACHE_DIR}/{key}.npy"
+    if os.path.exists(f):
+        return np.load(f)
+    return None
+
+
+def _disk_cache_store(key: str, arr: np.ndarray):
+    if _DISK_CACHE_DIR is None:
+        return
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=_DISK_CACHE_DIR, suffix=".npy")
+    import os as _os
+
+    with _os.fdopen(fd, "wb") as fh:
+        np.save(fh, arr)
+    _os.replace(tmp, f"{_DISK_CACHE_DIR}/{key}.npy")
+
+
 @functools.lru_cache(maxsize=None)
 def _u_matrix_cached(irreps_in_str: str, ir_out_str: str, correlation: int):
+    key = f"U_{irreps_in_str}_{ir_out_str}_{correlation}".replace("+", "_").replace("x", "")
+    hit = _disk_cache_load(key)
+    if hit is not None:
+        return hit
     irreps_in = Irreps(irreps_in_str)
     ir_out = Irrep.parse(ir_out_str)
     coupled = _wigner_nj([irreps_in] * correlation)
@@ -446,7 +488,9 @@ def _u_matrix_cached(irreps_in_str: str, ir_out_str: str, correlation: int):
         U = np.stack(stack, axis=-1)  # [ir_out.dim, d^corr ..., n_paths]
     if ir_out.dim == 1:
         U = U[0]  # squeeze scalar output index, matching reference convention
-    return np.ascontiguousarray(U)
+    U = np.ascontiguousarray(U)
+    _disk_cache_store(key, U)
+    return U
 
 
 def u_matrix_real(irreps_in: Irreps, ir_out: Irrep, correlation: int) -> np.ndarray:

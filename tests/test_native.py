@@ -1,0 +1,48 @@
+"""Native C++ batcher vs the pure-Python batcher: bit-identical batches."""
+
+import numpy as np
+import pytest
+
+from geometric_message_passing_tpu import datasets as ds
+from geometric_message_passing_tpu.graph import GraphLoader, batch_graphs, pad_sizes
+from geometric_message_passing_tpu.native import fast_build_batches, have_native
+from geometric_message_passing_tpu.native.batch import FlatDataset
+
+
+@pytest.mark.skipif(not have_native(), reason="no C++ toolchain")
+def test_native_matches_python():
+    graphs = ds.create_paired_star_graphs(num=13, fold=[5, 6], n_pairs=2, seed=1)
+    batch_size = 4
+    n_pad, e_pad, g_pad = pad_sizes(graphs, batch_size)
+    order = np.random.default_rng(0).permutation(len(graphs))
+
+    flat = FlatDataset(graphs)
+    out = fast_build_batches(flat, order, batch_size, n_pad, e_pad, g_pad)
+    assert out is not None
+
+    for b in range((len(order) + batch_size - 1) // batch_size):
+        chunk = [graphs[i] for i in order[b * batch_size : (b + 1) * batch_size]]
+        ref = batch_graphs(chunk, n_pad, e_pad, g_pad)
+        assert np.array_equal(out["atoms"][b], np.asarray(ref.atoms))
+        assert np.array_equal(out["pos"][b], np.asarray(ref.pos))
+        assert np.array_equal(out["senders"][b], np.asarray(ref.senders))
+        assert np.array_equal(out["receivers"][b], np.asarray(ref.receivers))
+        assert np.array_equal(out["graph_id"][b], np.asarray(ref.graph_id))
+        assert np.allclose(out["y"][b], np.asarray(ref.y))
+        assert np.array_equal(out["node_mask"][b].astype(bool),
+                              np.asarray(ref.node_mask))
+        assert np.array_equal(out["edge_mask"][b].astype(bool),
+                              np.asarray(ref.edge_mask))
+        assert np.array_equal(out["graph_mask"][b].astype(bool),
+                              np.asarray(ref.graph_mask))
+        assert np.array_equal(out["first_node"][b], np.asarray(ref.first_node))
+
+
+@pytest.mark.skipif(not have_native(), reason="no C++ toolchain")
+def test_stage_epochs_fast_path():
+    graphs = ds.create_star_graphs(num=10, fold=[4], seed=0)
+    loader = GraphLoader(graphs, batch_size=4, shuffle=True, seed=0)
+    staged = loader.stage_epochs(3)
+    assert staged is not None
+    assert staged.atoms.shape[:2] == (3, 3)  # 3 epochs x 3 steps
+    assert staged.node_mask.dtype == bool
