@@ -1,0 +1,300 @@
+"""Full MACE block library — redesign of
+/root/reference/models/mace_modules/blocks.py (the parts beyond what the
+model zoo itself uses: readout/embedding blocks, the five interaction-block
+variants and their registry, scale-shift, atomic energies).
+
+The reference exports these via ``mace_modules.interaction_classes``
+(mace_modules/__init__.py:32-38); they are the building blocks of full
+MACE/BOTNet force-field stacks.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..irreps import Irreps
+from ..ops.scatter import segment_sum
+from .basic import ACT
+from .equivariant import (
+    Activation,
+    IrrepsLinear,
+    _act_second_moment,
+    reshape_irreps,
+)
+from .tensor_product import EdgeTensorProductUVU, FullyConnectedTensorProduct
+
+
+class E3FullyConnectedNet(nn.Module):
+    """e3nn nn.FullyConnectedNet numerics: y = act(x @ W / sqrt(fan_in)),
+    W ~ N(0,1), activation rescaled to unit second moment; no bias."""
+
+    widths: Sequence[int]        # hidden + output widths
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.widths)
+        for i, w in enumerate(self.widths):
+            W = self.param(f"w{i}", nn.initializers.normal(stddev=1.0),
+                           (x.shape[-1], w))
+            x = x @ (W / math.sqrt(x.shape[-1]))
+            if i < n - 1:
+                x = ACT[self.act](x) * _act_second_moment(self.act)
+        return x
+
+
+class LinearNodeEmbeddingBlock(nn.Module):
+    """o3.Linear on node attributes (blocks.py:26-34)."""
+
+    irreps_in: Irreps
+    irreps_out: Irreps
+
+    @nn.compact
+    def __call__(self, node_attrs):
+        return IrrepsLinear(Irreps(self.irreps_in), Irreps(self.irreps_out))(
+            node_attrs
+        )
+
+
+class LinearReadoutBlock(nn.Module):
+    """o3.Linear readout to (default) a single scalar (blocks.py:37-43)."""
+
+    irreps_in: Irreps
+    irreps_out: Irreps = Irreps("1x0e")
+
+    @nn.compact
+    def __call__(self, x):
+        return IrrepsLinear(Irreps(self.irreps_in), Irreps(self.irreps_out))(x)
+
+
+class NonLinearReadoutBlock(nn.Module):
+    """Linear -> scalar activation -> Linear (blocks.py:46-59)."""
+
+    irreps_in: Irreps
+    mlp_irreps: Irreps
+    gate: str = "silu"
+    irreps_out: Irreps = Irreps("1x0e")
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = Irreps(self.mlp_irreps)
+        x = IrrepsLinear(Irreps(self.irreps_in), hidden)(x)
+        x = Activation(hidden, act=self.gate)(x)
+        return IrrepsLinear(hidden, Irreps(self.irreps_out))(x)
+
+
+class AtomicEnergiesBlock(nn.Module):
+    """Fixed per-element reference energies (blocks.py:62-81)."""
+
+    atomic_energies: Tuple[float, ...]
+
+    @nn.compact
+    def __call__(self, one_hot):
+        e = jnp.asarray(np.asarray(self.atomic_energies), dtype=one_hot.dtype)
+        return one_hot @ e
+
+
+class ScaleShiftBlock(nn.Module):
+    """y = scale * x + shift (blocks.py:533-549)."""
+
+    scale: float
+    shift: float
+
+    def __call__(self, x):
+        return self.scale * x + self.shift
+
+
+class TensorProductWeightsBlock(nn.Module):
+    """Element-dependent TP weights: einsum('be,ba,aek->bk') with xavier
+    init (blocks.py:179-203)."""
+
+    num_elements: int
+    num_edge_feats: int
+    num_feats_out: int
+
+    @nn.compact
+    def __call__(self, node_attrs_one_hot, edge_feats):
+        W = self.param(
+            "weights",
+            nn.initializers.glorot_uniform(batch_axis=(0,)),
+            (self.num_elements, self.num_edge_feats, self.num_feats_out),
+        )
+        return jnp.einsum("be,ba,aek->bk", edge_feats, node_attrs_one_hot, W)
+
+
+class _InteractionBase(nn.Module):
+    """Shared config of all interaction variants (blocks.py:138-173)."""
+
+    node_attrs_irreps: Irreps
+    node_feats_irreps: Irreps
+    edge_attrs_irreps: Irreps
+    edge_feats_irreps: Irreps
+    target_irreps: Irreps
+    hidden_irreps: Irreps
+    avg_num_neighbors: float = 1.0
+
+    def _tp(self):
+        return EdgeTensorProductUVU(
+            Irreps(self.node_feats_irreps), Irreps(self.edge_attrs_irreps),
+            Irreps(self.target_irreps),
+        )
+
+    def _linear_out_irreps(self, irreps_mid: Irreps) -> Irreps:
+        """linear_out_irreps semantics (irreps_tools.py:45-60): for each
+        distinct irrep in mid, the target multiplicity."""
+        target = Irreps(self.target_irreps)
+        out = []
+        for _, ir in irreps_mid.simplify():
+            found = [(mul, t) for mul, t in target if t == ir]
+            if not found:
+                raise ValueError(f"{ir} not in {target}")
+            out.append(found[0])
+        return Irreps(out).simplify()
+
+
+class ResidualElementDependentInteractionBlock(_InteractionBase):
+    """blocks.py:206-265."""
+
+    @nn.compact
+    def __call__(self, node_attrs, node_feats, edge_attrs, edge_feats,
+                 senders, receivers, edge_mask=None):
+        nfi = Irreps(self.node_feats_irreps)
+        num_nodes = node_feats.shape[0]
+        tp = self._tp()
+        irreps_out = self._linear_out_irreps(tp.irreps_out)
+        sc = FullyConnectedTensorProduct(
+            nfi, Irreps(self.node_attrs_irreps), irreps_out, name="skip_tp",
+        )(node_feats, node_attrs)
+        node_feats = IrrepsLinear(nfi, nfi, name="linear_up")(node_feats)
+        tp_w = TensorProductWeightsBlock(
+            Irreps(self.node_attrs_irreps).num_irreps,
+            Irreps(self.edge_feats_irreps).num_irreps,
+            tp.weight_numel, name="conv_tp_weights",
+        )(node_attrs[senders], edge_feats)
+        mji = tp.apply(node_feats[senders], edge_attrs, tp_w)
+        message = segment_sum(mji, receivers, num_nodes, mask=edge_mask)
+        message = IrrepsLinear(tp.irreps_out, irreps_out, name="linear")(
+            message
+        ) / self.avg_num_neighbors
+        return message + sc
+
+
+class AgnosticNonlinearInteractionBlock(_InteractionBase):
+    """blocks.py:268-328."""
+
+    @nn.compact
+    def __call__(self, node_attrs, node_feats, edge_attrs, edge_feats,
+                 senders, receivers, edge_mask=None):
+        nfi = Irreps(self.node_feats_irreps)
+        num_nodes = node_feats.shape[0]
+        tp = self._tp()
+        irreps_out = self._linear_out_irreps(tp.irreps_out)
+        tp_w = E3FullyConnectedNet(
+            (64, 64, 64, tp.weight_numel), name="conv_tp_weights",
+        )(edge_feats)
+        node_feats = IrrepsLinear(nfi, nfi, name="linear_up")(node_feats)
+        mji = tp.apply(node_feats[senders], edge_attrs, tp_w)
+        message = segment_sum(mji, receivers, num_nodes, mask=edge_mask)
+        message = IrrepsLinear(tp.irreps_out, irreps_out, name="linear")(
+            message
+        ) / self.avg_num_neighbors
+        return FullyConnectedTensorProduct(
+            irreps_out, Irreps(self.node_attrs_irreps), irreps_out,
+            name="skip_tp",
+        )(message, node_attrs)
+
+
+class AgnosticResidualNonlinearInteractionBlock(_InteractionBase):
+    """blocks.py:331-393."""
+
+    @nn.compact
+    def __call__(self, node_attrs, node_feats, edge_attrs, edge_feats,
+                 senders, receivers, edge_mask=None):
+        nfi = Irreps(self.node_feats_irreps)
+        num_nodes = node_feats.shape[0]
+        tp = self._tp()
+        irreps_out = self._linear_out_irreps(tp.irreps_out)
+        sc = FullyConnectedTensorProduct(
+            nfi, Irreps(self.node_attrs_irreps), irreps_out, name="skip_tp",
+        )(node_feats, node_attrs)
+        node_feats = IrrepsLinear(nfi, nfi, name="linear_up")(node_feats)
+        tp_w = E3FullyConnectedNet(
+            (64, 64, 64, tp.weight_numel), name="conv_tp_weights",
+        )(edge_feats)
+        mji = tp.apply(node_feats[senders], edge_attrs, tp_w)
+        message = segment_sum(mji, receivers, num_nodes, mask=edge_mask)
+        message = IrrepsLinear(tp.irreps_out, irreps_out, name="linear")(
+            message
+        ) / self.avg_num_neighbors
+        return message + sc
+
+
+class RealAgnosticInteractionBlock(_InteractionBase):
+    """blocks.py:396-461 — returns ([n, channels, (lmax+1)^2], None)."""
+
+    @nn.compact
+    def __call__(self, node_attrs, node_feats, edge_attrs, edge_feats,
+                 senders, receivers, edge_mask=None):
+        nfi = Irreps(self.node_feats_irreps)
+        num_nodes = node_feats.shape[0]
+        tp = self._tp()
+        irreps_out = Irreps(self.target_irreps)
+        node_feats = IrrepsLinear(nfi, nfi, name="linear_up")(node_feats)
+        tp_w = E3FullyConnectedNet(
+            (64, 64, 64, tp.weight_numel), name="conv_tp_weights",
+        )(edge_feats)
+        mji = tp.apply(node_feats[senders], edge_attrs, tp_w)
+        message = segment_sum(mji, receivers, num_nodes, mask=edge_mask)
+        message = IrrepsLinear(tp.irreps_out, irreps_out, name="linear")(
+            message
+        ) / self.avg_num_neighbors
+        message = FullyConnectedTensorProduct(
+            irreps_out, Irreps(self.node_attrs_irreps), irreps_out,
+            name="skip_tp",
+        )(message, node_attrs)
+        return reshape_irreps(message, irreps_out), None
+
+
+class RealAgnosticResidualInteractionBlock(_InteractionBase):
+    """blocks.py:464-530 — returns ([n, channels, (lmax+1)^2], sc)."""
+
+    @nn.compact
+    def __call__(self, node_attrs, node_feats, edge_attrs, edge_feats,
+                 senders, receivers, edge_mask=None):
+        nfi = Irreps(self.node_feats_irreps)
+        num_nodes = node_feats.shape[0]
+        tp = self._tp()
+        irreps_out = Irreps(self.target_irreps)
+        sc = FullyConnectedTensorProduct(
+            nfi, Irreps(self.node_attrs_irreps), Irreps(self.hidden_irreps),
+            name="skip_tp",
+        )(node_feats, node_attrs)
+        node_feats = IrrepsLinear(nfi, nfi, name="linear_up")(node_feats)
+        tp_w = E3FullyConnectedNet(
+            (64, 64, 64, tp.weight_numel), name="conv_tp_weights",
+        )(edge_feats)
+        mji = tp.apply(node_feats[senders], edge_attrs, tp_w)
+        message = segment_sum(mji, receivers, num_nodes, mask=edge_mask)
+        message = IrrepsLinear(tp.irreps_out, irreps_out, name="linear")(
+            message
+        ) / self.avg_num_neighbors
+        return reshape_irreps(message, irreps_out), sc
+
+
+interaction_classes = {
+    "AgnosticNonlinearInteractionBlock": AgnosticNonlinearInteractionBlock,
+    "ResidualElementDependentInteractionBlock":
+        ResidualElementDependentInteractionBlock,
+    "AgnosticResidualNonlinearInteractionBlock":
+        AgnosticResidualNonlinearInteractionBlock,
+    "RealAgnosticResidualInteractionBlock":
+        RealAgnosticResidualInteractionBlock,
+    "RealAgnosticInteractionBlock": RealAgnosticInteractionBlock,
+}
+
+gate_dict = {"abs": "abs", "tanh": "tanh", "silu": "silu", "None": None}

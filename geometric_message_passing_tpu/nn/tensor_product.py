@@ -80,3 +80,88 @@ class EdgeTensorProduct:
 def edge_tensor_product(irreps_in: Irreps, irreps_sh: Irreps,
                         irreps_out: Irreps) -> EdgeTensorProduct:
     return EdgeTensorProduct(irreps_in, irreps_sh, irreps_out)
+
+
+class EdgeTensorProductUVU:
+    """'uvu'-mode edge tensor product with per-edge weights — the conv_tp of
+    the MACE interaction blocks (o3.TensorProduct with
+    tp_out_irreps_with_instructions, blocks.py:218-225).
+
+    Weight layout: per path, mul_in1 weights (mul_in2 == 1), path order.
+    Output: the UNSIMPLIFIED sorted irreps_out from tp_paths_uvu.
+    """
+
+    def __init__(self, irreps_in: Irreps, irreps_sh: Irreps, target: Irreps):
+        from ..irreps import tp_paths_uvu
+
+        self.irreps_in = Irreps(irreps_in)
+        self.irreps_sh = Irreps(irreps_sh)
+        self.irreps_out, self.paths = tp_paths_uvu(
+            self.irreps_in, self.irreps_sh, Irreps(target)
+        )
+        assert all(p.mul_in2 == 1 for p in self.paths)
+        self.weight_numel = sum(p.mul_in1 for p in self.paths)
+        self._sh_offsets = []
+        ix = 0
+        for mul, ir in self.irreps_sh:
+            self._sh_offsets.append((ix, ir.dim))
+            ix += mul * ir.dim
+
+    def apply(self, x, sh, weights):
+        xs = split_blocks(x, self.irreps_in)
+        outs = [None] * len(self.irreps_out)
+        w_off = 0
+        for p in self.paths:
+            xin = xs[p.i_in1]                        # [E, u, d1]
+            off, d2 = self._sh_offsets[p.i_in2]
+            sh_blk = sh[..., off : off + d2]
+            C = jnp.asarray(
+                wigner_3j(p.ir_in1.l, p.ir_in2.l, p.ir_out.l), dtype=x.dtype
+            )
+            W = weights[..., w_off : w_off + p.mul_in1]   # [E, u]
+            w_off += p.mul_in1
+            y = p.path_weight * jnp.einsum(
+                "...ua,...b,abm,...u->...um", xin, sh_blk, C, W
+            )
+            outs[p.i_out] = y if outs[p.i_out] is None else outs[p.i_out] + y
+        for k, (mul, ir) in enumerate(self.irreps_out):
+            if outs[k] is None:
+                outs[k] = jnp.zeros(x.shape[:-1] + (mul, ir.dim), x.dtype)
+        return merge_blocks(outs)
+
+
+class FullyConnectedTensorProduct(nn.Module):
+    """Shared-internal-weight FCTP (e3nn o3.FullyConnectedTensorProduct with
+    internal_weights=True) — the skip_tp of the interaction blocks
+    (blocks.py:241-243). Typically in2 = one-hot element scalars."""
+
+    irreps_in1: Irreps
+    irreps_in2: Irreps
+    irreps_out: Irreps
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        from ..irreps import tp_paths
+
+        in1, in2, out = (Irreps(self.irreps_in1), Irreps(self.irreps_in2),
+                         Irreps(self.irreps_out))
+        paths = tp_paths(in1, in2, out)
+        xs1 = split_blocks(x1, in1)
+        xs2 = split_blocks(x2, in2)
+        outs = [None] * len(out)
+        for k, p in enumerate(paths):
+            C = jnp.asarray(
+                wigner_3j(p.ir_in1.l, p.ir_in2.l, p.ir_out.l), dtype=x1.dtype
+            )
+            W = self.param(
+                f"w{k}", nn.initializers.normal(stddev=1.0),
+                (p.mul_in1, p.mul_in2, p.mul_out),
+            )
+            y = p.path_weight * jnp.einsum(
+                "...ua,...vb,abm,uvw->...wm", xs1[p.i_in1], xs2[p.i_in2], C, W
+            )
+            outs[p.i_out] = y if outs[p.i_out] is None else outs[p.i_out] + y
+        for k, (mul, ir) in enumerate(out):
+            if outs[k] is None:
+                outs[k] = jnp.zeros(x1.shape[:-1] + (mul, ir.dim), x1.dtype)
+        return merge_blocks(outs)
