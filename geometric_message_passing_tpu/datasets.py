@@ -338,6 +338,29 @@ def create_four_body_chiral_envs() -> List[Graph]:
     return _env_pair(base + [[c[0], c[1], c[2]]], base + [[c[0], -c[1], c[2]]])
 
 
+def create_true_chiral_envs() -> List[Graph]:
+    """A genuinely chiral mirror pair (this framework's addition).
+
+    ANALYSIS NOTE: the reference's four-body "chiral" environments
+    (incompleteness.ipynb cell 12) are NOT chiral: the base configuration
+    {0, a1, a2, a3, c} is symmetric under x -> -x (a1 <-> a3), so its y-mirror
+    equals a rotation R_z(pi) of the original — the two environments are
+    rotation-equivalent and indistinguishable by ANY rotation-invariant model
+    (verified in tests/test_incompleteness.py). This generator provides a
+    scalemic configuration with no internal mirror symmetry, so the pair is
+    separable exactly by parity-sensitive (pseudoscalar) features.
+    """
+    base = [
+        [0.0, 0.0, 0.0],
+        [2.0, 0.0, 0.0],
+        [0.0, 3.0, 0.5],
+        [-0.5, 0.0, 4.0],
+        [1.0, 1.5, 2.0],
+    ]
+    mirror = [[x, -y, z] for (x, y, z) in base]
+    return _env_pair(base, mirror)
+
+
 def generate_invariant_dataset(num=5, fold=3, dim=2, target="max", seed=0) -> List[Graph]:
     """One base star + (num-1) randomly rotated copies with a shared label —
     data-level invariance probe (equivariant_test.py:15-93).  Note: like the
@@ -374,4 +397,5 @@ dataset_registry = {
     "three_body": create_three_body_envs,
     "four_body_nonchiral": create_four_body_nonchiral_envs,
     "four_body_chiral": create_four_body_chiral_envs,
+    "true_chiral": create_true_chiral_envs,
 }

@@ -21,6 +21,7 @@ from ..graph import GraphBatch
 from ..ops.dimenet_basis import AngleEmb, DistEmb
 from ..ops.scatter import segment_sum
 from .pooling import POOL
+from ..ops.norms import safe_norm
 
 
 def glorot_orthogonal(scale: float = 2.0):
@@ -149,13 +150,13 @@ class DimeNetPPModel(nn.Module):
         pos = batch.pos
         j, i = batch.senders, batch.receivers
 
-        dist = jnp.linalg.norm(pos[i] - pos[j], axis=-1)
+        dist = safe_norm(pos[i] - pos[j], axis=-1)
         # fork's angle-at-i convention (dimenet.py:86-90)
         pos_i = pos[tri.idx_i]
         pos_ji = pos[tri.idx_j] - pos_i
         pos_ki = pos[tri.idx_k] - pos_i
         a = jnp.sum(pos_ji * pos_ki, axis=-1)
-        b = jnp.linalg.norm(jnp.cross(pos_ji, pos_ki), axis=-1)
+        b = safe_norm(jnp.cross(pos_ji, pos_ki), axis=-1)
         angle = jnp.arctan2(b, a)
 
         rbf = DistEmb(self.num_radial, self.cutoff, self.envelope_exponent,

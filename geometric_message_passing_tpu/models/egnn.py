@@ -18,6 +18,7 @@ from ..graph import GraphBatch
 from ..nn.basic import ACT, MLP
 from ..ops.scatter import segment_max, segment_mean, segment_sum
 from .pooling import POOL
+from ..ops.norms import safe_norm
 
 
 _AGGR = {"sum": segment_sum, "add": segment_sum, "mean": segment_mean,
@@ -42,7 +43,7 @@ class EGNNLayer(nn.Module):
         num_nodes = h.shape[0]
         h_i, h_j = h[receivers], h[senders]           # i = target, j = source
         pos_diff = pos[receivers] - pos[senders]
-        dists = jnp.linalg.norm(pos_diff, axis=-1, keepdims=True)
+        dists = safe_norm(pos_diff, axis=-1, keepdims=True)
         msg = MLP((self.emb_dim, self.emb_dim), self.activation, self.norm,
                   name="mlp_msg")(jnp.concatenate([h_i, h_j, dists], -1), train=train)
         scale = MLP((self.emb_dim, 1), self.activation, self.norm,

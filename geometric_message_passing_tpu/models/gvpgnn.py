@@ -14,6 +14,7 @@ from ..nn import gvp
 from ..ops.radial import radial_embedding
 from ..ops.scatter import segment_mean, segment_sum
 from .pooling import POOL
+from ..ops.norms import safe_norm
 
 
 class GVPConv(nn.Module):
@@ -128,7 +129,7 @@ class GVPGNNModel(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
         vectors = batch.pos[batch.senders] - batch.pos[batch.receivers]
-        lengths = jnp.linalg.norm(vectors, axis=-1, keepdims=True)
+        lengths = safe_norm(vectors, axis=-1, keepdims=True)
 
         h_s = nn.Embed(self.in_dim, self.s_dim, name="emb_in")(batch.atoms)
         edge_s = radial_embedding(

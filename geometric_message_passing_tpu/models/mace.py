@@ -15,6 +15,7 @@ from ..nn.equivariant import pad_to_irreps, reshape_irreps
 from ..ops.radial import radial_embedding
 from ..ops.spherical import spherical_harmonics
 from .pooling import POOL
+from ..ops.norms import safe_norm
 
 
 class MACEModel(nn.Module):
@@ -48,7 +49,7 @@ class MACEModel(nn.Module):
         h = nn.Embed(self.in_dim, self.emb_dim, name="emb_in")(batch.atoms)
 
         vectors = batch.pos[batch.senders] - batch.pos[batch.receivers]
-        lengths = jnp.linalg.norm(vectors, axis=-1, keepdims=True)
+        lengths = safe_norm(vectors, axis=-1, keepdims=True)
         edge_sh = spherical_harmonics(vectors, self.max_ell)
         edge_feats = radial_embedding(
             lengths, self.r_max, self.num_bessel, self.num_polynomial_cutoff

@@ -17,6 +17,7 @@ from ..graph import GraphBatch
 from ..ops.radial import gaussian_smearing
 from ..ops.scatter import segment_sum
 from .pooling import POOL
+from ..ops.norms import safe_norm
 
 
 def shifted_softplus(x):
@@ -65,7 +66,7 @@ class SchNetModel(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
         h = nn.Embed(100, self.hidden_channels, name="embedding")(batch.atoms)
-        edge_weight = jnp.linalg.norm(
+        edge_weight = safe_norm(
             batch.pos[batch.senders] - batch.pos[batch.receivers], axis=-1
         )
         edge_attr = gaussian_smearing(edge_weight, 0.0, self.cutoff,

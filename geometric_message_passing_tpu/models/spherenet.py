@@ -19,6 +19,7 @@ from ..ops.dimenet_basis import AngleEmb, DistEmb, TorsionEmb
 from ..ops.scatter import segment_min, segment_sum
 from .dimenet import ResidualLayer, glorot_orthogonal, swish
 from .pooling import POOL
+from ..ops.norms import safe_norm
 
 
 class SphereNetInit(nn.Module):
@@ -141,13 +142,13 @@ def spherenet_geometry(batch: GraphBatch):
     tri = batch.triplets
     pos = batch.pos
     j, i = batch.senders, batch.receivers
-    dist = jnp.linalg.norm(pos[i] - pos[j], axis=-1)
+    dist = safe_norm(pos[i] - pos[j], axis=-1)
 
     # angle at j between (i-j) and (k-j), range (0, pi)
     pos_ji = pos[tri.idx_i] - pos[tri.idx_j]
     pos_jk = pos[tri.idx_k] - pos[tri.idx_j]
     a = jnp.sum(pos_ji * pos_jk, axis=-1)
-    b = jnp.linalg.norm(jnp.cross(pos_ji, pos_jk), axis=-1)
+    b = safe_norm(jnp.cross(pos_ji, pos_jk), axis=-1)
     angle = jnp.arctan2(b, a)
 
     # torsion: dihedral between plane(ji, jk_t) and plane(ji, jk_n),
@@ -156,7 +157,7 @@ def spherenet_geometry(batch: GraphBatch):
     pos_j0 = pos[tri.idx_k][q] - pos[tri.idx_j][q]
     pos_ji_q = pos[tri.idx_i][q] - pos[tri.idx_j][q]
     pos_jk_q = pos[tri.q_kn] - pos[tri.idx_j][q]
-    dist_ji = jnp.linalg.norm(pos_ji_q, axis=-1)
+    dist_ji = safe_norm(pos_ji_q, axis=-1)
     plane1 = jnp.cross(pos_ji_q, pos_j0)
     plane2 = jnp.cross(pos_ji_q, pos_jk_q)
     a_t = jnp.sum(plane1 * plane2, axis=-1)

@@ -61,13 +61,11 @@ def spherical_harmonics(vectors, lmax: int, normalize: bool = True,
     first (zero vectors — padding — map to zero SH for l>=1, keeping pad edges
     inert).
     """
-    x, y, z = vectors[..., 0], vectors[..., 1], vectors[..., 2]
     if normalize:
-        n = jnp.sqrt(x * x + y * y + z * z)
-        safe = jnp.maximum(n, eps)
-        x, y, z = x / safe, y / safe, z / safe
-        valid = (n > eps).astype(vectors.dtype)
-        x, y, z = x * valid, y * valid, z * valid
+        from .norms import safe_normalize
+
+        vectors = safe_normalize(vectors, axis=-1)
+    x, y, z = vectors[..., 0], vectors[..., 1], vectors[..., 2]
 
     consts = sh_normalization_constants(lmax)
     out = [jnp.ones(vectors.shape[:-1] + (1,), dtype=vectors.dtype)]

@@ -22,3 +22,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent XLA compile cache: MACE variants are compile-heavy on CPU
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), ".jax_test_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
