@@ -111,6 +111,19 @@ class SphereNetUpdateE(nn.Module):
         return e1, e2
 
 
+class SphereNetUpdateU(nn.Module):
+    """update_u (spherenet_layer.py:229-235): graph-level accumulator
+    u += scatter(v, batch). Constructed but disabled in the reference forward
+    (spherenet.py:100-107); exposed here via use_virtual_node."""
+
+    @nn.compact
+    def __call__(self, u, v, batch):
+        from ..ops.scatter import segment_sum
+
+        return u + segment_sum(v, batch.graph_id, batch.num_graphs,
+                               mask=batch.node_mask)
+
+
 class SphereNetUpdateV(nn.Module):
     """update_v (spherenet_layer.py:195-226): scatter edges to nodes + MLP."""
 
