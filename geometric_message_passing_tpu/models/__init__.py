@@ -3,6 +3,7 @@ teaching baseline. DimeNetPPModel / SphereNetModel are imported lazily (they
 pull in the triplet pipeline)."""
 
 from .egnn import EGNNModel, MPNNModel  # noqa
+from .egnn_fused import EGNNFusedModel  # noqa
 from .gvpgnn import GVPGNNModel  # noqa
 from .mace import MACEModel  # noqa
 from .schnet import SchNetModel  # noqa
@@ -11,6 +12,7 @@ from .tfn import TFNModel  # noqa
 model_registry = {
     "schnet": SchNetModel,
     "egnn": EGNNModel,
+    "egnn_fused": EGNNFusedModel,
     "gvp": GVPGNNModel,
     "tfn": TFNModel,
     "mace": MACEModel,
