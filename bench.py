@@ -5,10 +5,14 @@ dataset, n_data=1400, batch_size=100, lr 5e-4 -> train_time ~26 s/run
 (exp_history.json `train_time`; hardware unrecorded).
 
 Here the whole 200-epoch experiment (train steps, val/test evals, best-val
-rule, plateau LR schedule) is ONE jit-compiled lax.scan program on the TPU.
-Reported value = steady-state train_time of the full run (a warmup run pays
-compilation; the compiled program is also persisted to a local JAX
-compilation cache so subsequent bench invocations skip compile entirely).
+rule, plateau LR schedule) is ONE jit-compiled lax.scan program on the TPU,
+over a device-RESIDENT dataset (graph.SlotData): the training set is
+transferred to HBM once, per-epoch shuffles are device-side permutations,
+and each EGNN layer's message pass runs as one fused Pallas kernel forward
+and one fused kernel backward (ops/pallas_edge.py).  Reported value =
+steady-state train_time of the full run (a warmup run pays compilation; the
+compiled program is also persisted to a local JAX compilation cache so
+subsequent bench invocations skip compile entirely).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -39,7 +43,7 @@ def main():
         seed_everything,
     )
     from geometric_message_passing_tpu.graph import GraphLoader, pad_sizes, random_split
-    from geometric_message_passing_tpu.models import EGNNModel
+    from geometric_message_passing_tpu.models.egnn_fused import EGNNFusedModel
 
     n_data, batch_size, n_epochs, n_layers = 1400, 100, 200, 4
     data = ds.create_star_graphs(num=n_data, fold=[5, 6, 7], dim=3,
@@ -51,8 +55,8 @@ def main():
     va_l = GraphLoader(va, **kw)
     te_l = GraphLoader(te, **kw)
 
-    model = EGNNModel(num_layers=n_layers, emb_dim=128, in_dim=1, out_dim=1,
-                      pool="first")
+    model = EGNNFusedModel(num_layers=n_layers, emb_dim=128, in_dim=1,
+                           out_dim=1, pool="first")
     variables = model.init(seed_everything(0), next(iter(tr_l)))
     setup_time = time.time() - t_setup
 

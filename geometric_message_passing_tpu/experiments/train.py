@@ -156,24 +156,20 @@ def _build_apply(model):
     return apply_train, apply_eval
 
 
-def fit(
-    model,
-    variables,
-    train_epochs: GraphBatch,      # stacked [n_epochs, steps, ...]
-    val_set: GraphBatch,           # stacked [v, ...]
-    test_set: GraphBatch,          # stacked [t, ...]
-    num_val: int,
-    num_test: int,
-    n_epochs: int,
-    lr: float = 1e-4,
-    task: str = "regression",
-    cosine: bool = False,
-    plateau: Optional[PlateauConfig] = None,
-    mask_cols: Optional[int] = None,
-    seed: int = 0,
-    metric_norm: str = "examples",
-) -> FitResult:
-    """Run the full experiment as a single jit-compiled program."""
+_RUN_CACHE: Dict[Any, Any] = {}
+
+
+def _tree_key(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return (treedef, tuple((tuple(l.shape), str(l.dtype)) for l in leaves))
+
+
+def _build_run(model, n_epochs: int, task: str, cosine: bool,
+               plateau: Optional[PlateauConfig], mask_cols: Optional[int]):
+    """Build the jit-compiled whole-experiment program.  Everything dynamic
+    (params, data, rng seed, lr, split sizes) is an ARGUMENT, so one traced
+    program serves every repeat/seed — re-tracing a program this size costs
+    ~10s of host time per call, which used to dwarf the device time."""
     apply_train, apply_eval = _build_apply(model)
     if task == "regression":
         loss_fn = partial(l1_sum_loss, mask_cols=mask_cols)
@@ -184,9 +180,7 @@ def fit(
         better = lambda new, best: new >= best
         init_best = -jnp.inf
 
-    tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
-    opt_state = tx.init(variables["params"])
-    rng0 = jax.random.PRNGKey(seed)
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
 
     def eval_metric(variables, batches, num_examples):
         def body(carry, batch):
@@ -219,33 +213,36 @@ def fit(
         variables = {**variables, "params": params, **mutated}
         return (variables, opt_state2, rng, lr_now), loss
 
-    def epoch_body(carry, inp):
-        variables, opt_state, rng, sched_state, best_val, test_metric = carry
-        epoch_idx, epoch_batches = inp
-        if cosine:
-            lr_now = cosine_lr(lr, 1e-6, n_epochs, epoch_idx)
-        else:
-            lr_now = sched_state["lr"]
-        (variables, opt_state, rng, _), losses = jax.lax.scan(
-            train_step, (variables, opt_state, rng, lr_now), epoch_batches
-        )
-        val_metric = eval_metric(variables, val_set, num_val)
-        improved = better(val_metric, best_val)
-        test_now = jax.lax.cond(
-            improved,
-            lambda: eval_metric(variables, test_set, num_test),
-            lambda: test_metric,
-        )
-        best_val = jnp.where(improved, val_metric, best_val)
-        if not cosine:
-            sched_state = plateau_update(sched_state, val_metric, plateau)
-        return (
-            (variables, opt_state, rng, sched_state, best_val, test_now),
-            (test_now, val_metric, jnp.mean(losses)),
-        )
+    def make_epoch_body(val_set, test_set, num_val, num_test, lr):
+        def epoch_body(carry, inp):
+            variables, opt_state, rng, sched_state, best_val, test_metric = carry
+            epoch_idx, epoch_batches = inp
+            if cosine:
+                lr_now = cosine_lr(lr, 1e-6, n_epochs, epoch_idx)
+            else:
+                lr_now = sched_state["lr"]
+            (variables, opt_state, rng, _), losses = jax.lax.scan(
+                train_step, (variables, opt_state, rng, lr_now), epoch_batches
+            )
+            val_metric = eval_metric(variables, val_set, num_val)
+            improved = better(val_metric, best_val)
+            test_now = jax.lax.cond(
+                improved,
+                lambda: eval_metric(variables, test_set, num_test),
+                lambda: test_metric,
+            )
+            best_val = jnp.where(improved, val_metric, best_val)
+            if not cosine:
+                sched_state = plateau_update(sched_state, val_metric, plateau)
+            return (
+                (variables, opt_state, rng, sched_state, best_val, test_now),
+                (test_now, val_metric, jnp.mean(losses)),
+            )
+        return epoch_body
 
     @jax.jit
-    def run(variables, opt_state, train_epochs):
+    def run(variables, opt_state, train_epochs, val_set, test_set,
+            num_val, num_test, rng0, lr):
         sched_state = plateau_init(lr)
         carry = (
             variables, opt_state, rng0, sched_state,
@@ -254,14 +251,225 @@ def fit(
         )
         epoch_ids = jnp.arange(n_epochs)
         carry, per_epoch = jax.lax.scan(
-            epoch_body, carry, (epoch_ids, train_epochs)
+            make_epoch_body(val_set, test_set, num_val, num_test, lr),
+            carry, (epoch_ids, train_epochs),
         )
         variables, _, _, _, best_val, test_metric = carry
         return variables, best_val, test_metric, per_epoch
 
+    return run
+
+
+def _build_run_resident(model, n_epochs: int, task: str, cosine: bool,
+                        plateau: Optional[PlateauConfig],
+                        mask_cols: Optional[int], steps: int,
+                        batch_size: int):
+    """Device-resident variant of ``_build_run``: the dataset lives in HBM in
+    slot layout (graph.SlotData); every epoch's shuffle is a device-side
+    ``jax.random.permutation`` and batches are assembled on device.  The
+    host transfers the dataset once per experiment (~1MB) instead of
+    staging/stacking/transferring every shuffled epoch (~50MB + ~10s host
+    time per run at the bench config)."""
+    from ..graph import assemble_batch
+
+    apply_train, apply_eval = _build_apply(model)
+    if task == "regression":
+        loss_fn = partial(l1_sum_loss, mask_cols=mask_cols)
+        better = lambda new, best: new <= best
+        init_best = jnp.inf
+    else:
+        loss_fn = cross_entropy_mean_loss
+        better = lambda new, best: new >= best
+        init_best = -jnp.inf
+
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
+
+    def eval_metric(variables, slot, plan, num_examples):
+        def body(carry, idx_row):
+            batch = assemble_batch(slot, idx_row)
+            pred = apply_eval(variables, batch)
+            if task == "regression":
+                return carry + l1_sum_loss(pred, batch, mask_cols), None
+            c, n = accuracy_count(pred, batch)
+            return carry + c.astype(jnp.float32), None
+
+        total, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), plan)
+        if task == "regression":
+            return total / num_examples
+        return total / num_examples * 100.0
+
+    def train_step_of(slot):
+        def train_step(carry, idx_row):
+            variables, opt_state, rng, lr_now = carry
+            rng, sub = jax.random.split(rng)
+            batch = assemble_batch(slot, idx_row)
+
+            def loss_of(params):
+                vs = {**variables, "params": params}
+                pred, mutated = apply_train(vs, batch, sub)
+                return loss_fn(pred, batch), mutated
+
+            (loss, mutated), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(variables["params"])
+            opt_state.hyperparams["learning_rate"] = lr_now
+            updates, opt_state2 = tx.update(grads, opt_state,
+                                            variables["params"])
+            params = optax.apply_updates(variables["params"], updates)
+            variables = {**variables, "params": params, **mutated}
+            return (variables, opt_state2, rng, lr_now), loss
+        return train_step
+
+    @jax.jit
+    def run(variables, opt_state, slot_train, slot_val, slot_test,
+            val_plan, test_plan, num_val, num_test, rng0, lr):
+        m = slot_train.num_graphs
+        pad_len = steps * batch_size - m
+        rng0, shuffle_key = jax.random.split(rng0)
+        train_step = train_step_of(slot_train)
+
+        def epoch_body(carry, epoch_idx):
+            variables, opt_state, rng, sched_state, best_val, test_metric = carry
+            if cosine:
+                lr_now = cosine_lr(lr, 1e-6, n_epochs, epoch_idx)
+            else:
+                lr_now = sched_state["lr"]
+            perm = jax.random.permutation(
+                jax.random.fold_in(shuffle_key, epoch_idx), m
+            ).astype(jnp.int32)
+            slots = jnp.concatenate(
+                [perm, jnp.full((pad_len,), m, jnp.int32)]
+            ).reshape(steps, batch_size)
+            (variables, opt_state, rng, _), losses = jax.lax.scan(
+                train_step, (variables, opt_state, rng, lr_now), slots
+            )
+            val_metric = eval_metric(variables, slot_val, val_plan, num_val)
+            improved = better(val_metric, best_val)
+            test_now = jax.lax.cond(
+                improved,
+                lambda: eval_metric(variables, slot_test, test_plan, num_test),
+                lambda: test_metric,
+            )
+            best_val = jnp.where(improved, val_metric, best_val)
+            if not cosine:
+                sched_state = plateau_update(sched_state, val_metric, plateau)
+            return (
+                (variables, opt_state, rng, sched_state, best_val, test_now),
+                (test_now, val_metric, jnp.mean(losses)),
+            )
+
+        sched_state = plateau_init(lr)
+        carry = (
+            variables, opt_state, rng0, sched_state,
+            jnp.asarray(init_best, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+        )
+        carry, per_epoch = jax.lax.scan(
+            epoch_body, carry, jnp.arange(n_epochs)
+        )
+        variables, _, _, _, best_val, test_metric = carry
+        return variables, best_val, test_metric, per_epoch
+
+    return run
+
+
+def fit_resident(
+    model,
+    variables,
+    train_loader: GraphLoader,
+    val_loader: GraphLoader,
+    test_loader: GraphLoader,
+    n_epochs: int,
+    lr: float = 1e-4,
+    task: str = "regression",
+    cosine: bool = False,
+    plateau: Optional[PlateauConfig] = None,
+    mask_cols: Optional[int] = None,
+    seed: int = 0,
+) -> FitResult:
+    """Whole-experiment program over a device-resident slot dataset."""
+    from ..graph import build_slot_data, eval_slot_indices
+
+    def slot_of(loader):
+        if not hasattr(loader, "_slot_cache"):
+            loader._slot_cache = build_slot_data(loader.graphs,
+                                                 y_dtype=loader.y_dtype)
+        return loader._slot_cache
+
+    slot_train = slot_of(train_loader)
+    slot_val = slot_of(val_loader)
+    slot_test = slot_of(test_loader)
+    b = train_loader.batch_size
+    steps = len(train_loader)
+    val_plan = jnp.asarray(eval_slot_indices(slot_val.num_graphs, b))
+    test_plan = jnp.asarray(eval_slot_indices(slot_test.num_graphs, b))
+
+    key = (model, n_epochs, task, cosine, plateau, mask_cols, steps, b,
+           "resident", _tree_key(slot_train), _tree_key(slot_val),
+           _tree_key(slot_test))
+    run = _RUN_CACHE.get(key)
+    if run is None:
+        run = _build_run_resident(model, n_epochs, task, cosine, plateau,
+                                  mask_cols, steps, b)
+        _RUN_CACHE[key] = run
+
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    opt_state = tx.init(variables["params"])
     t0 = time.time()
     variables, best_val, test_metric, per_epoch = run(
-        variables, opt_state, train_epochs
+        variables, opt_state, slot_train, slot_val, slot_test,
+        val_plan, test_plan,
+        jnp.asarray(val_loader.num_examples, jnp.float32),
+        jnp.asarray(test_loader.num_examples, jnp.float32),
+        jax.random.PRNGKey(seed), jnp.asarray(lr, jnp.float32),
+    )
+    jax.block_until_ready(best_val)
+    train_time = time.time() - t0
+    return FitResult(
+        best_val=float(best_val),
+        test=float(test_metric),
+        train_time=train_time,
+        perf_per_epoch=np.stack(
+            [np.asarray(per_epoch[0]), np.asarray(per_epoch[1])], axis=1
+        ),
+        variables=variables,
+    )
+
+
+def fit(
+    model,
+    variables,
+    train_epochs: GraphBatch,      # stacked [n_epochs, steps, ...]
+    val_set: GraphBatch,           # stacked [v, ...]
+    test_set: GraphBatch,          # stacked [t, ...]
+    num_val: int,
+    num_test: int,
+    n_epochs: int,
+    lr: float = 1e-4,
+    task: str = "regression",
+    cosine: bool = False,
+    plateau: Optional[PlateauConfig] = None,
+    mask_cols: Optional[int] = None,
+    seed: int = 0,
+    metric_norm: str = "examples",
+) -> FitResult:
+    """Run the full experiment as a single jit-compiled program.  The traced
+    program is cached on (model, config, data shapes): repeats with new
+    seeds/lr/data reuse both the trace and the XLA executable."""
+    key = (model, n_epochs, task, cosine, plateau, mask_cols,
+           _tree_key(train_epochs), _tree_key(val_set), _tree_key(test_set))
+    run = _RUN_CACHE.get(key)
+    if run is None:
+        run = _build_run(model, n_epochs, task, cosine, plateau, mask_cols)
+        _RUN_CACHE[key] = run
+
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    opt_state = tx.init(variables["params"])
+
+    t0 = time.time()
+    variables, best_val, test_metric, per_epoch = run(
+        variables, opt_state, train_epochs, val_set, test_set,
+        jnp.asarray(num_val, jnp.float32), jnp.asarray(num_test, jnp.float32),
+        jax.random.PRNGKey(seed), jnp.asarray(lr, jnp.float32),
     )
     jax.block_until_ready(best_val)
     train_time = time.time() - t0
@@ -304,6 +512,13 @@ def fit_regression(model, variables, train_loader, val_loader, test_loader,
     if loss_mask:
         y_dim = int(np.asarray(next(iter(val_loader)).y.shape[-1]))
         mask_cols = y_dim // 2
+    plateau = PlateauConfig(mode="max", factor=0.9, patience=15, min_lr=1e-4)
+    if not train_loader.with_triplets:
+        return fit_resident(
+            model, variables, train_loader, val_loader, test_loader,
+            n_epochs=n_epochs, lr=lr, task="regression", cosine=cosine,
+            plateau=plateau, mask_cols=mask_cols, seed=seed,
+        )
     return fit(
         model, variables,
         _stage_epochs(train_loader, n_epochs),
@@ -312,14 +527,20 @@ def fit_regression(model, variables, train_loader, val_loader, test_loader,
         num_val=val_loader.num_examples,
         num_test=test_loader.num_examples,
         n_epochs=n_epochs, lr=lr, task="regression", cosine=cosine,
-        plateau=PlateauConfig(mode="max", factor=0.9, patience=15,
-                              min_lr=1e-4),
+        plateau=plateau,
         mask_cols=mask_cols, seed=seed,
     )
 
 
 def fit_classification(model, variables, train_loader, val_loader, test_loader,
                        n_epochs=100, lr=1e-4, seed=0):
+    plateau = PlateauConfig(mode="max", factor=0.9, patience=25, min_lr=1e-5)
+    if not train_loader.with_triplets:
+        return fit_resident(
+            model, variables, train_loader, val_loader, test_loader,
+            n_epochs=n_epochs, lr=lr, task="classification", cosine=False,
+            plateau=plateau, seed=seed,
+        )
     return fit(
         model, variables,
         _stage_epochs(train_loader, n_epochs),
@@ -328,8 +549,7 @@ def fit_classification(model, variables, train_loader, val_loader, test_loader,
         num_val=val_loader.num_examples,
         num_test=test_loader.num_examples,
         n_epochs=n_epochs, lr=lr, task="classification", cosine=False,
-        plateau=PlateauConfig(mode="max", factor=0.9, patience=25,
-                              min_lr=1e-5),
+        plateau=plateau,
         seed=seed,
     )
 

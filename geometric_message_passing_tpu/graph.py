@@ -191,6 +191,117 @@ def batch_graphs(
     )
 
 
+@struct.dataclass
+class SlotData:
+    """Device-resident dataset in per-graph slot-padded layout.
+
+    Every graph is padded to ``Sn`` nodes / ``Se`` edges (edge indices LOCAL
+    to the graph).  Row M (the last) is a blank sentinel graph used to pad
+    partial batches.  Batches are assembled ON DEVICE (``assemble_batch``)
+    from a vector of graph indices, so the whole training set is transferred
+    to HBM exactly once and per-epoch shuffling is a device-side
+    ``jax.random.permutation`` — no host staging, no per-run transfer.
+    This replaces PyG's host DataLoader shuffle (reference
+    experiments/graph_angle_prediction.py:122-124) with a TPU-resident
+    equivalent."""
+
+    atoms: jnp.ndarray        # [M+1, Sn] int32
+    pos: jnp.ndarray          # [M+1, Sn, 3] f32
+    senders: jnp.ndarray      # [M+1, Se] int32, local indices
+    receivers: jnp.ndarray    # [M+1, Se] int32
+    node_mask: jnp.ndarray    # [M+1, Sn] bool
+    edge_mask: jnp.ndarray    # [M+1, Se] bool
+    y: jnp.ndarray            # [M+1, y_dim]
+
+    @property
+    def num_graphs(self) -> int:      # real graphs (sentinel excluded)
+        return self.atoms.shape[0] - 1
+
+    @property
+    def slot_nodes(self) -> int:
+        return self.atoms.shape[1]
+
+    @property
+    def slot_edges(self) -> int:
+        return self.senders.shape[1]
+
+
+def build_slot_data(graphs: Sequence[Graph], y_dtype=np.float32,
+                    sn: Optional[int] = None,
+                    se: Optional[int] = None) -> SlotData:
+    """Host-side one-time packing of graphs into slot layout."""
+    m = len(graphs)
+    sn = sn or max(g.num_nodes for g in graphs)
+    se = se or max(max(g.num_edges for g in graphs), 1)
+    atoms = np.zeros((m + 1, sn), np.int32)
+    pos = np.zeros((m + 1, sn, 3), np.float32)
+    senders = np.full((m + 1, se), sn - 1, np.int32)
+    receivers = np.full((m + 1, se), sn - 1, np.int32)
+    node_mask = np.zeros((m + 1, sn), bool)
+    edge_mask = np.zeros((m + 1, se), bool)
+    ys = [np.atleast_1d(np.asarray(g.y)) for g in graphs]
+    y_dim = ys[0].shape[0] if ys else 1
+    y = np.zeros((m + 1, y_dim), y_dtype)
+    for i, g in enumerate(graphs):
+        nn, ne = g.num_nodes, g.num_edges
+        assert nn <= sn and ne <= se, (nn, sn, ne, se)
+        atoms[i, :nn] = g.atoms
+        pos[i, :nn] = g.pos
+        senders[i, :ne] = g.edge_index[0]
+        receivers[i, :ne] = g.edge_index[1]
+        node_mask[i, :nn] = True
+        edge_mask[i, :ne] = True
+        y[i] = ys[i].astype(y_dtype)
+    return SlotData(
+        atoms=jnp.asarray(atoms), pos=jnp.asarray(pos),
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        node_mask=jnp.asarray(node_mask), edge_mask=jnp.asarray(edge_mask),
+        y=jnp.asarray(y),
+    )
+
+
+def assemble_batch(slot: SlotData, idx) -> GraphBatch:
+    """Device-side batch assembly from graph indices ``idx`` [B] (index == M
+    selects the blank sentinel).  Produces the same GraphBatch contract as
+    ``batch_graphs`` except nodes live at fixed per-graph offsets (graph i's
+    nodes at [i*Sn, i*Sn+Sn)); pad nodes are masked and pooled into the
+    trailing pad graph; pad edges are edge_mask=False (every op in the
+    framework masks by edge_mask, so their endpoints are irrelevant)."""
+    b = idx.shape[0]
+    m = slot.num_graphs
+    sn, se = slot.slot_nodes, slot.slot_edges
+    idx = jnp.minimum(idx.astype(jnp.int32), m)
+    atoms = slot.atoms[idx].reshape(-1)
+    pos = slot.pos[idx].reshape(-1, 3)
+    node_mask = slot.node_mask[idx].reshape(-1)
+    edge_mask = slot.edge_mask[idx].reshape(-1)
+    off = jnp.arange(b, dtype=jnp.int32) * sn
+    senders = (slot.senders[idx] + off[:, None]).reshape(-1)
+    receivers = (slot.receivers[idx] + off[:, None]).reshape(-1)
+    gid = jnp.repeat(jnp.arange(b, dtype=jnp.int32), sn)
+    graph_id = jnp.where(node_mask, gid, b)          # pad nodes -> pad graph
+    graph_mask = jnp.concatenate([idx < m, jnp.zeros((1,), bool)])
+    y = jnp.concatenate([slot.y[idx],
+                         jnp.zeros((1,) + slot.y.shape[1:], slot.y.dtype)])
+    first_node = jnp.concatenate(
+        [off, jnp.asarray([b * sn - 1], jnp.int32)]
+    )
+    return GraphBatch(
+        atoms=atoms, pos=pos, senders=senders, receivers=receivers,
+        graph_id=graph_id, y=y, node_mask=node_mask, edge_mask=edge_mask,
+        graph_mask=graph_mask, first_node=first_node,
+    )
+
+
+def eval_slot_indices(num_graphs: int, batch_size: int) -> np.ndarray:
+    """Static [steps, B] index plan for an unshuffled (eval) pass; sentinel
+    index M pads the last partial batch."""
+    steps = (num_graphs + batch_size - 1) // batch_size
+    idx = np.full(steps * batch_size, num_graphs, np.int32)
+    idx[:num_graphs] = np.arange(num_graphs)
+    return idx.reshape(steps, batch_size)
+
+
 class GraphLoader:
     """Host-side batching iterator over a list of ``Graph``s with static
     padded shapes — the TPU replacement for PyG DataLoader

@@ -102,6 +102,27 @@ def _layernorm(x, gamma, beta, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
 
 
+def _layernorm_cache(x, gamma, beta, eps=1e-5):
+    """LayerNorm forward returning (y, xhat, rstd) for manual backward."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    return xhat * gamma + beta, xhat, rstd
+
+
+def _layernorm_bwd(dy, xhat, rstd, gamma):
+    """Manual LayerNorm backward: returns (dx, dgamma, dbeta)."""
+    dxhat = dy * gamma
+    dx = rstd * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    return dx, jnp.sum(dy * xhat, axis=0), jnp.sum(dy, axis=0)
+
+
 def _egnn_kernel(
     send_ref, recv_ref, emask_ref,       # [BE] int32 / bool
     h_ref, pos_ref,                       # [N, D], [N, 3]
@@ -214,6 +235,180 @@ def _egnn_pallas_raw(send, recv, emask, h, pos, packed_w,
     )(send, recv, emask, h, pos, packed_w)
 
 
+def _egnn_bwd_kernel(
+    send_ref, recv_ref, emask_ref,        # [BE] int32 / bool
+    h_ref, pos_ref, w_ref,                # [N, D], [N, 3], [P, D]
+    gmsg_ref, gpos_ref,                   # cotangents [N, D], [N, 3]
+    dh_acc, dpos_acc, dw_acc,             # outputs [N, D], [N, 3], [P, D]
+    *, dims,
+):
+    """Fully fused EGNN-layer backward: recompute the forward for this edge
+    block entirely in VMEM, then manually backprop through scale head, the
+    three Linear+LayerNorm+ReLU stages and the gathers, accumulating node
+    grads (one-hot MXU matmuls) and packed weight grads.  The count output
+    has no differentiable path (indices/mask only), so its cotangent is
+    ignored."""
+    (n, d) = dims
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dh_acc[...] = jnp.zeros_like(dh_acc)
+        dpos_acc[...] = jnp.zeros_like(dpos_acc)
+        dw_acc[...] = jnp.zeros_like(dw_acc)
+
+    send = send_ref[...]
+    recv = recv_ref[...]
+    emask = emask_ref[...].astype(jnp.float32)
+    h = h_ref[...]
+    pos = pos_ref[...]
+    W = w_ref[...]
+    Gm = gmsg_ref[...]
+    Gp = gpos_ref[...]
+
+    r = 0
+    W1 = W[r : r + 2 * d + 1]; r += 2 * d + 1
+    b1, g1, B1 = W[r], W[r + 1], W[r + 2]; r += 3
+    W2 = W[r : r + d]; r += d
+    b2, g2, B2 = W[r], W[r + 1], W[r + 2]; r += 3
+    P1 = W[r : r + d]; r += d
+    pb1, pg1, pB1 = W[r], W[r + 1], W[r + 2]; r += 3
+    P2col = W[r]; r += 1
+    pb2 = W[r, 0]
+
+    oh_send = (
+        send[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    ).astype(jnp.float32)
+    oh_recv = (
+        recv[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    ).astype(jnp.float32)
+
+    mm = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    mtm = lambda a, b: jax.lax.dot_general(   # a^T @ b over rows
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    # ---- forward recompute (identical math to _egnn_kernel) ----
+    h_j = mm(oh_send, h)
+    h_i = mm(oh_recv, h)
+    pos_j = mm(oh_send, pos)
+    pos_i = mm(oh_recv, pos)
+    pd = pos_i - pos_j
+    sq = jnp.sum(pd * pd, axis=-1, keepdims=True)
+    positive = sq > 1e-24
+    dists = jnp.where(positive, jnp.sqrt(jnp.where(positive, sq, 1.0)), 0.0)
+
+    x = jnp.concatenate([h_i, h_j, dists], axis=-1)
+    y1, xhat1, rstd1 = _layernorm_cache(mm(x, W1) + b1, g1, B1)
+    m = jnp.maximum(y1, 0.0)
+    y2, xhat2, rstd2 = _layernorm_cache(mm(m, W2) + b2, g2, B2)
+    msg = jnp.maximum(y2, 0.0)
+    y3, xhat3, rstd3 = _layernorm_cache(mm(msg, P1) + pb1, pg1, pB1)
+    p = jnp.maximum(y3, 0.0)
+    scale = jnp.sum(p * P2col[None, :], axis=-1, keepdims=True) + pb2
+
+    # ---- backward ----
+    ohTm = oh_recv * emask[:, None]
+    gmsg_out = mm(ohTm, Gm)               # [BE, D] cotangent at msg (output path)
+    gpm = mm(ohTm, Gp)                    # [BE, 3] cotangent at pos_msg
+
+    # pos_msg = pd * scale
+    dscale = jnp.sum(gpm * pd, axis=-1, keepdims=True)    # [BE, 1]
+    dpd = gpm * scale
+    # scale = p @ P2col + pb2
+    dp = dscale * P2col[None, :]
+    dP2col = jnp.sum(p * dscale, axis=0)                  # [D]
+    dpb2 = jnp.sum(dscale)
+    # p = relu(LN3(msg @ P1 + pb1))
+    dy3 = dp * (y3 > 0.0)
+    dz3, dpg1, dpB1 = _layernorm_bwd(dy3, xhat3, rstd3, pg1)
+    dmsg = gmsg_out + mm(dz3, P1.T)
+    dP1 = mtm(msg, dz3)
+    dpb1 = jnp.sum(dz3, axis=0)
+    # msg = relu(LN2(m @ W2 + b2))
+    dy2 = dmsg * (y2 > 0.0)
+    dz2, dg2, dB2 = _layernorm_bwd(dy2, xhat2, rstd2, g2)
+    dm = mm(dz2, W2.T)
+    dW2 = mtm(m, dz2)
+    db2 = jnp.sum(dz2, axis=0)
+    # m = relu(LN1(x @ W1 + b1))
+    dy1 = dm * (y1 > 0.0)
+    dz1, dg1, dB1 = _layernorm_bwd(dy1, xhat1, rstd1, g1)
+    dx = mm(dz1, W1.T)                     # [BE, 2D+1]
+    dW1 = mtm(x, dz1)
+    db1 = jnp.sum(dz1, axis=0)
+
+    dh_i = dx[:, :d]
+    dh_j = dx[:, d : 2 * d]
+    ddists = dx[:, 2 * d : 2 * d + 1]
+    inv = jnp.where(positive, 1.0 / jnp.where(positive, dists, 1.0), 0.0)
+    dpd = dpd + ddists * pd * inv
+
+    dh_acc[...] += mtm(oh_recv, dh_i) + mtm(oh_send, dh_j)
+    dpos_acc[...] += mtm(oh_recv, dpd) - mtm(oh_send, dpd)
+
+    # packed weight grads, same row layout as pack_egnn_weights
+    pb2_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, d), 1) == 0
+    ).astype(jnp.float32) * dpb2
+    dw_acc[...] += jnp.concatenate(
+        [
+            dW1, db1[None], dg1[None], dB1[None],
+            dW2, db2[None], dg2[None], dB2[None],
+            dP1, dpb1[None], dpg1[None], dpB1[None],
+            dP2col[None], pb2_row,
+        ],
+        axis=0,
+    )
+
+
+def _egnn_bwd_pallas_raw(send, recv, emask, h, pos, packed_w, gmsg, gpos,
+                         block_edges: int = 1024, interpret: bool = False):
+    n, d = h.shape
+    e = send.shape[0]
+    be = max(1024, block_edges)
+    pad = (-e) % be
+    if pad:
+        send = jnp.pad(send, (0, pad))
+        recv = jnp.pad(recv, (0, pad))
+        emask = jnp.pad(emask, (0, pad))
+    steps = send.shape[0] // be
+    kernel = functools.partial(_egnn_bwd_kernel, dims=(n, d))
+    p_rows = packed_w.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((be,), lambda i: (i,)),
+            pl.BlockSpec((be,), lambda i: (i,)),
+            pl.BlockSpec((be,), lambda i: (i,)),
+            pl.BlockSpec(h.shape, lambda i: (0, 0)),
+            pl.BlockSpec(pos.shape, lambda i: (0, 0)),
+            pl.BlockSpec(packed_w.shape, lambda i: (0, 0)),
+            pl.BlockSpec(gmsg.shape, lambda i: (0, 0)),
+            pl.BlockSpec(gpos.shape, lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, d), lambda i: (0, 0)),
+            pl.BlockSpec((n, 3), lambda i: (0, 0)),
+            pl.BlockSpec((p_rows, d), lambda i: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((p_rows, d), jnp.float32),
+        ),
+        # backward holds two one-hots + ~15 edge-block buffers live at once;
+        # the 16MB default scoped-vmem cap is just short at BE=1024, D=128
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret or _is_cpu(),
+    )(send, recv, emask, h, pos, packed_w, gmsg, gpos)
+
+
 def pack_egnn_weights(params, d: int):
     """Pack an EGNNLayer's flax params into one [P, D] f32 matrix for the
     kernel (row layout documented in _egnn_kernel)."""
@@ -281,8 +476,16 @@ def egnn_message_xla(send, recv, emask, h, pos, packed_w, d: int):
     return msg_acc, pos_acc, cnt
 
 
-def make_egnn_message_fused(d: int, interpret: bool = False):
-    """Fused forward (Pallas) + XLA-twin backward, as a custom_vjp closure."""
+def make_egnn_message_fused(d: int, interpret: bool = False,
+                            pallas_bwd: bool = True):
+    """Fused forward + fused backward, as a custom_vjp closure.
+
+    Forward and backward are each ONE Pallas kernel launch (the backward
+    recomputes the forward edge block in VMEM — rematerialisation trades a
+    few extra FLOPs for zero HBM residuals and minimal kernel count, the
+    binding constraint at these graph sizes).  ``pallas_bwd=False`` falls
+    back to differentiating the XLA twin (used as the grad correctness
+    reference)."""
 
     @jax.custom_vjp
     def fused(send, recv, emask, h, pos, packed_w):
@@ -296,12 +499,19 @@ def make_egnn_message_fused(d: int, interpret: bool = False):
 
     def bwd(res, g):
         send, recv, emask, h, pos, packed_w = res
-        _, vjp = jax.vjp(
-            lambda h_, pos_, w_: egnn_message_xla(send, recv, emask, h_, pos_,
-                                                  w_, d),
-            h, pos, packed_w,
-        )
-        dh, dpos, dw = vjp(g)
+        gmsg, gpos, _gcnt = g   # cnt has no differentiable path
+        if pallas_bwd:
+            dh, dpos, dw = _egnn_bwd_pallas_raw(
+                send, recv, emask, h, pos, packed_w, gmsg, gpos,
+                interpret=interpret,
+            )
+        else:
+            _, vjp = jax.vjp(
+                lambda h_, pos_, w_: egnn_message_xla(
+                    send, recv, emask, h_, pos_, w_, d),
+                h, pos, packed_w,
+            )
+            dh, dpos, dw = vjp(g)
         return None, None, None, dh, dpos, dw
 
     fused.defvjp(fwd, bwd)

@@ -75,3 +75,38 @@ def test_egnn_fused_gradients():
     g2 = jax.grad(loss_twin, argnums=(0, 1))(h, packed_w)
     for a, b in zip(g1, g2):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_egnn_fused_pallas_backward_matches_twin_grads():
+    """The fully fused Pallas backward kernel (in-VMEM recompute + manual
+    backprop) produces the same (dh, dpos, dW) as autodiff of the XLA twin."""
+    rng = np.random.default_rng(3)
+    n, e, d = 24, 90, 16
+    h = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    pos = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    send = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    recv = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    emask = jnp.asarray(rng.random(e) > 0.15)
+    p_rows = (2 * d + 1) + 3 + d + 3 + d + 3 + 2
+    packed_w = jnp.asarray(
+        (rng.normal(size=(p_rows, d)) * 0.1).astype(np.float32)
+    )
+    fused = make_egnn_message_fused(d, interpret=True, pallas_bwd=True)
+
+    gm = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    gp = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+
+    def loss_fused(h_, pos_, w_):
+        m, p, c = fused(send, recv, emask, h_, pos_, w_)
+        return jnp.sum(m * gm) + jnp.sum(p * gp) + jnp.sum(c)
+
+    def loss_twin(h_, pos_, w_):
+        m, p, c = egnn_message_xla(send, recv, emask, h_, pos_, w_, d)
+        return jnp.sum(m * gm) + jnp.sum(p * gp) + jnp.sum(c)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(h, pos, packed_w)
+    g2 = jax.grad(loss_twin, argnums=(0, 1, 2))(h, pos, packed_w)
+    for a, b, name in zip(g1, g2, ("dh", "dpos", "dw")):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-3), (
+            name, np.abs(np.asarray(a) - np.asarray(b)).max()
+        )
