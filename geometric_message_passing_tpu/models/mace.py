@@ -37,6 +37,11 @@ class MACEModel(nn.Module):
     batch_norm: bool = True
     residual: bool = True
     equivariant_pred: bool = False
+    # mul-sharded tensor parallelism (parallel/tp.py): when tp_axis is set the
+    # module is constructed with LOCAL emb_dim (= full/k) and runs under
+    # shard_map; channel-mixing ops psum over tp_axis.
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -65,6 +70,8 @@ class MACEModel(nn.Module):
                 aggr=self.aggr,
                 batch_norm=self.batch_norm,
                 gate=False,
+                tp_axis=self.tp_axis,
+                tp_size=self.tp_size,
                 name=f"conv_{i}",
             )(h, batch.senders, batch.receivers, edge_sh, edge_feats,
               edge_mask=batch.edge_mask, node_mask=batch.node_mask, train=train)
@@ -77,10 +84,24 @@ class MACEModel(nn.Module):
                 use_sc=self.residual,
                 element_dependent=False,
                 num_elements=self.in_dim,
+                tp_axis=self.tp_axis,
+                tp_size=self.tp_size,
                 name=f"prod_{i}",
             )(reshape_irreps(h_update, hidden), sc, None)
 
         out = POOL[self.pool](h, batch)
+        if self.tp_axis is not None:
+            from ..nn.basic import RowParallelDense
+
+            if not self.equivariant_pred:
+                out = out[:, : self.emb_dim]  # local scalar slice
+                out = RowParallelDense(self.emb_dim * self.tp_size,
+                                       self.tp_axis, name="Dense_0")(out)
+                out = nn.relu(out)
+                # replicated after the psum; second Dense is replicated too
+                return nn.Dense(self.out_dim, name="Dense_1")(out)
+            return RowParallelDense(self.out_dim, self.tp_axis,
+                                    name="pred")(out)
         if not self.equivariant_pred:
             out = out[:, : self.emb_dim]  # scalar slice (mace.py:188)
             out = nn.Dense(self.emb_dim)(out)

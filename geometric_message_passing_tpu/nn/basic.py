@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -78,3 +79,25 @@ class MLP(nn.Module):
             if not last or self.act_final:
                 x = act(x)
         return x
+
+
+class RowParallelDense(nn.Module):
+    """Dense layer whose INPUT dimension is sharded over a mesh axis
+    (tensor parallelism): each shard holds the weight rows for its input
+    slice, computes a partial product, and a psum over ``axis`` completes the
+    contraction; bias is added after the psum so it is applied once.
+    Parameter names (kernel/bias) match nn.Dense so a full model's weights
+    row-slice directly onto the shards."""
+
+    features: int
+    axis: str
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        partial = x @ kernel
+        return jax.lax.psum(partial, axis_name=self.axis) + bias

@@ -23,6 +23,15 @@ from .tensor_product import EdgeTensorProduct
 
 
 class TensorProductConvLayer(nn.Module):
+    """``tp_axis``/``tp_size`` enable mul-sharded tensor parallelism: the
+    module is then constructed with LOCAL (1/k) multiplicities, the edge TP
+    maps local-mul inputs to FULL-mul outputs (row-parallel — per-edge
+    weights hold this shard's input channels against all output channels),
+    and after the segment reduction one ``psum`` over ``tp_axis`` completes
+    the channel contraction before slicing back to the local shard.  One
+    [N, hidden] psum per layer — the Megatron row-parallel pattern mapped to
+    irrep multiplicities (SURVEY §2.5 TP mandate)."""
+
     in_irreps: Irreps
     out_irreps: Irreps
     sh_irreps: Irreps
@@ -30,9 +39,13 @@ class TensorProductConvLayer(nn.Module):
     aggr: str = "sum"           # 'sum'/'add' or 'mean'
     batch_norm: bool = False
     gate: bool = False
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     def setup(self):
         out_irreps = Irreps(self.out_irreps)
+        if self.tp_axis is not None:
+            assert not self.gate, "gate not supported under tensor parallelism"
         if self.gate:
             irreps_scalars, irreps_gates, irreps_gated = irreps2gate(out_irreps)
             if irreps_gated.num_irreps == 0:
@@ -44,7 +57,21 @@ class TensorProductConvLayer(nn.Module):
         else:
             self._gate = None
             tp_out = out_irreps
-        self.tp = EdgeTensorProduct(Irreps(self.in_irreps), Irreps(self.sh_irreps), tp_out)
+        if self.tp_axis is not None:
+            from .equivariant import scale_mul
+            import math
+
+            self._tp_out_full = scale_mul(tp_out, self.tp_size)
+            self.tp = EdgeTensorProduct(
+                Irreps(self.in_irreps), Irreps(self.sh_irreps),
+                self._tp_out_full,
+                path_weight_scale=1.0 / math.sqrt(self.tp_size),
+            )
+        else:
+            self._tp_out_full = None
+            self.tp = EdgeTensorProduct(
+                Irreps(self.in_irreps), Irreps(self.sh_irreps), tp_out
+            )
         self.fc = MLP(
             hidden=(self.mlp_dim, self.tp.weight_numel),
             activation="relu",
@@ -67,6 +94,13 @@ class TensorProductConvLayer(nn.Module):
             out = segment_mean(msg, senders, num_nodes, mask=edge_mask)
         else:
             raise ValueError(self.aggr)
+        if self.tp_axis is not None:
+            import jax
+            from .equivariant import shard_mul_slice
+
+            out = jax.lax.psum(out, axis_name=self.tp_axis)
+            out = shard_mul_slice(out, self._tp_out_full, self.tp_size,
+                                  jax.lax.axis_index(self.tp_axis))
         if self._gate is not None:
             out = self._gate(out)
         if self._bn is not None:
@@ -85,6 +119,8 @@ class EquivariantProductBasisBlock(nn.Module):
     use_sc: bool = True
     element_dependent: bool = False
     num_elements: Optional[int] = None
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     @nn.compact
     def __call__(self, node_feats, sc=None, node_attrs=None):
@@ -98,7 +134,22 @@ class EquivariantProductBasisBlock(nn.Module):
             element_dependent=self.element_dependent,
             num_elements=self.num_elements,
         )(node_feats, node_attrs)
-        out = IrrepsLinear(Irreps(self.target_irreps), Irreps(self.target_irreps))(x)
+        if self.tp_axis is not None:
+            # row-parallel channel mix: local-mul in -> full-mul out, psum,
+            # slice back to this shard (SymmetricContraction is channel-wise
+            # so it needs no communication)
+            import jax
+            from .equivariant import scale_mul, shard_mul_slice
+
+            target_full = scale_mul(Irreps(self.target_irreps), self.tp_size)
+            out = IrrepsLinear(Irreps(self.target_irreps), target_full,
+                               fan_mult=self.tp_size)(x)
+            out = jax.lax.psum(out, axis_name=self.tp_axis)
+            out = shard_mul_slice(out, target_full, self.tp_size,
+                                  jax.lax.axis_index(self.tp_axis))
+        else:
+            out = IrrepsLinear(Irreps(self.target_irreps),
+                               Irreps(self.target_irreps))(x)
         if self.use_sc and sc is not None:
             out = out + sc
         return out

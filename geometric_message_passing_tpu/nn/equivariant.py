@@ -41,6 +41,26 @@ def merge_blocks(blocks: List[jnp.ndarray]) -> jnp.ndarray:
     return jnp.concatenate(flat, axis=-1)
 
 
+def scale_mul(irreps: Irreps, k: int) -> Irreps:
+    """Multiply every multiplicity by k (full irreps of a k-way mul shard)."""
+    return Irreps([(mul * k, ir) for mul, ir in irreps])
+
+
+def shard_mul_slice(x, irreps_full: Irreps, tp_size: int, shard_index):
+    """Take this shard's channel slice of a full-mul flat irreps array:
+    block k of the mul axis of every irrep (``shard_index`` may be traced,
+    e.g. ``lax.axis_index`` inside shard_map)."""
+    import jax
+
+    outs = []
+    for blk, (mul, ir) in zip(split_blocks(x, irreps_full), irreps_full):
+        loc = mul // tp_size
+        outs.append(jax.lax.dynamic_slice_in_dim(
+            blk, shard_index * loc, loc, axis=-2
+        ))
+    return merge_blocks(outs)
+
+
 def reshape_irreps(x, irreps: Irreps) -> jnp.ndarray:
     """[N, sum mul*d] -> [N, mul, sum d] for uniform-mul irreps — the MACE
     feature layout (irreps_tools.py:63-79)."""
@@ -77,6 +97,7 @@ class IrrepsLinear(nn.Module):
 
     irreps_in: Irreps
     irreps_out: Irreps
+    fan_mult: int = 1   # tensor parallelism: true fan = local fan * fan_mult
 
     @nn.compact
     def __call__(self, x):
@@ -84,7 +105,9 @@ class IrrepsLinear(nn.Module):
         outs = []
         for ko, (mul_out, ir_out) in enumerate(self.irreps_out):
             contrib = None
-            fan = sum(mul for mul, ir in self.irreps_in if ir == ir_out)
+            fan = self.fan_mult * sum(
+                mul for mul, ir in self.irreps_in if ir == ir_out
+            )
             for ki, (mul_in, ir_in) in enumerate(self.irreps_in):
                 if ir_in != ir_out:
                     continue

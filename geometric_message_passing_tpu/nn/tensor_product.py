@@ -35,10 +35,16 @@ class EdgeTensorProduct:
     Build once per layer (python time); ``apply`` is pure jnp.
     """
 
-    def __init__(self, irreps_in: Irreps, irreps_sh: Irreps, irreps_out: Irreps):
+    def __init__(self, irreps_in: Irreps, irreps_sh: Irreps, irreps_out: Irreps,
+                 path_weight_scale: float = 1.0):
+        """``path_weight_scale`` rescales every path weight uniformly — used
+        by tensor parallelism, where each shard sees 1/k of the input
+        multiplicity so the locally computed fan-in normalization must be
+        corrected by 1/sqrt(k) to match the full model."""
         self.irreps_in = Irreps(irreps_in)
         self.irreps_sh = Irreps(irreps_sh)
         self.irreps_out = Irreps(irreps_out)
+        self.path_weight_scale = float(path_weight_scale)
         self.paths = tp_paths(self.irreps_in, self.irreps_sh, self.irreps_out)
         assert all(p.mul_in2 == 1 for p in self.paths), "SH multiplicity must be 1"
         self.weight_numel = sum(p.mul_in1 * p.mul_out for p in self.paths)
@@ -68,7 +74,9 @@ class EdgeTensorProduct:
             )
             w_off += nW
             tmp = jnp.einsum("...ua,...b,abm->...um", xin, sh_blk, C)
-            y = p.path_weight * jnp.einsum("...uw,...um->...wm", W, tmp)
+            y = (p.path_weight * self.path_weight_scale) * jnp.einsum(
+                "...uw,...um->...wm", W, tmp
+            )
             outs[p.i_out] = y if outs[p.i_out] is None else outs[p.i_out] + y
         for k, (mul, ir) in enumerate(self.irreps_out):
             if outs[k] is None:

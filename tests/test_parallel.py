@@ -95,3 +95,97 @@ def test_halo_exchange_matches_local():
         jnp.asarray(mask.reshape(n_dev, -1)),
     )
     assert np.allclose(np.asarray(out), ref, atol=1e-4)
+
+
+class TestTensorParallel:
+    """Mul-sharded tensor parallelism (parallel/tp.py): a 4-way channel shard
+    of the full MACE model must reproduce the single-device forward exactly
+    and produce per-shard gradients that are slices of the full gradients."""
+
+    def _setup(self, tp_size=4):
+        from geometric_message_passing_tpu import datasets as ds
+        from geometric_message_passing_tpu.graph import (
+            assemble_batch, build_slot_data)
+        from geometric_message_passing_tpu.models import MACEModel
+
+        graphs = ds.create_star_graphs(num=6, fold=[3, 4], dim=3,
+                                       target="max", seed=0)
+        slot = build_slot_data(graphs)
+        batch = assemble_batch(slot, jnp.arange(6, dtype=jnp.int32))
+        model = MACEModel(num_layers=2, emb_dim=8, in_dim=1, out_dim=1,
+                          max_ell=2, correlation=2)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        return model, variables, batch
+
+    def test_tp_forward_matches_single_device(self):
+        from geometric_message_passing_tpu.parallel.mesh import make_mesh
+        from geometric_message_passing_tpu.parallel.tp import (
+            shard_mace_variables, tp_apply)
+
+        model, variables, batch = self._setup()
+        full_out = model.apply(variables, batch)
+
+        mesh = make_mesh((4,), ("tp",), devices=jax.devices()[:4])
+        shards = shard_mace_variables(variables, model, 4)
+        out = tp_apply(model, shards, mesh)(shards, batch)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full_out),
+                                   atol=1e-5)
+
+    def test_tp_gradients_match_sliced_full_gradients(self):
+        import optax
+
+        from geometric_message_passing_tpu.parallel.mesh import make_mesh
+        from geometric_message_passing_tpu.parallel.tp import (
+            shard_mace_variables, tp_apply, tp_train_step)
+
+        model, variables, batch = self._setup()
+
+        def loss_fn(pred, b):
+            err = jnp.abs(pred - b.y) * b.graph_mask[:, None]
+            return jnp.sum(err)
+
+        # full-model gradients
+        def full_loss(params):
+            pred, _ = model.apply({**variables, "params": params}, batch,
+                                  train=True, mutable=["batch_stats"],
+                                  rngs={"dropout": jax.random.PRNGKey(0)})
+            return loss_fn(pred, batch)
+
+        g_full = jax.grad(full_loss)(variables["params"])
+
+        mesh = make_mesh((4,), ("tp",), devices=jax.devices()[:4])
+        shards = shard_mace_variables(variables, model, 4)
+        tx = optax.sgd(0.0)
+        opt_state = jax.tree.map(
+            lambda *_: None, None)  # placeholder, built below
+        local_params = jax.tree.map(lambda x: x, shards["params"])
+        opt_state = jax.vmap(tx.init)(local_params)
+        step = tp_train_step(model, tx, mesh, loss_fn)
+        new_vars, _, loss = step(shards, opt_state, batch)
+
+        # with lr=0 params are unchanged; instead re-derive grads by probing
+        # with lr=1 sgd: new = old - grad
+        tx1 = optax.sgd(1.0)
+        opt1 = jax.vmap(tx1.init)(shards["params"])
+        step1 = tp_train_step(model, tx1, mesh, loss_fn)
+        new_vars1, _, _ = step1(shards, opt1, batch)
+        g_shard = jax.tree.map(lambda a, b: a - b, shards["params"],
+                               new_vars1["params"])
+
+        # compare the embedding shard grads against the sliced full grads
+        g_emb_full = np.asarray(g_full["emb_in"]["embedding"])  # [in, 8]
+        g_emb_shard = np.asarray(
+            new_vars1["params"]["emb_in"]["embedding"] * 0
+            + g_shard["emb_in"]["embedding"]
+        )  # [4, in, 2]
+        for p in range(4):
+            np.testing.assert_allclose(
+                g_emb_shard[p], g_emb_full[..., p * 2 : (p + 1) * 2],
+                rtol=1e-3, atol=1e-3)
+        # and one IrrepsLinear row-shard
+        gl_full = np.asarray(g_full["prod_0"]["IrrepsLinear_0"]["w0_0"])
+        gl_shard = np.asarray(g_shard["prod_0"]["IrrepsLinear_0"]["w0_0"])
+        for p in range(4):
+            np.testing.assert_allclose(
+                gl_shard[p], gl_full[p * 2 : (p + 1) * 2],
+                rtol=1e-3, atol=1e-3)
