@@ -39,6 +39,133 @@ def gp_scatter_nodes(partial_global, axis: str = "gp"):
                                 scatter_dimension=0, tiled=True)
 
 
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class HaloPlan:
+    """Host-precomputed plan for a PACKED boundary-only halo exchange.
+
+    Nodes are block-partitioned (device p owns rows [p*n_local, (p+1)*n_local));
+    edges live on the owner of their aggregation target, so only the GATHER
+    side needs communication.  For each device pair (p -> q), ``send_idx[p,q]``
+    lists the LOCAL rows of p that q's edges reference, padded to the max
+    boundary size B.  One all_to_all moves exactly the boundary payload
+    (k*B*d floats) instead of the full node set — the packed upgrade over the
+    all_gather v0 above.  Every leading-[k] array is sharded over the mesh
+    axis with in_spec P(axis).
+    """
+
+    n_local: int = struct.field(pytree_node=False)
+    send_idx: jnp.ndarray      # [k, k, B] int32 local rows to send to peer q
+    send_mask: jnp.ndarray     # [k, k, B] bool
+    edge_src_cat: jnp.ndarray  # [k, E_loc] catalog index of each edge's source
+    edge_tgt_local: jnp.ndarray  # [k, E_loc] local index of the target
+    edge_mask: jnp.ndarray     # [k, E_loc] bool
+
+
+def build_halo_plan(senders, receivers, num_nodes: int, k: int,
+                    edge_mask=None) -> HaloPlan:
+    """Partition a graph for packed-halo execution (host-side, numpy).
+
+    Aggregation target = receiver (the framework's message direction); the
+    source side is gathered, possibly remotely.  ``num_nodes`` must be a
+    multiple of k (pad the graph first).
+    """
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    e = senders.shape[0]
+    emask = (np.ones(e, bool) if edge_mask is None
+             else np.asarray(edge_mask, bool))
+    assert num_nodes % k == 0, (num_nodes, k)
+    n_local = num_nodes // k
+    owner_s = senders // n_local
+    owner_t = receivers // n_local
+
+    # per-pair boundary sets: device q needs src nodes owned by p != q
+    need = [[np.zeros(0, np.int64) for _ in range(k)] for _ in range(k)]
+    for q in range(k):
+        on_q = emask & (owner_t == q)
+        for p in range(k):
+            if p == q:
+                continue
+            sel = on_q & (owner_s == p)
+            need[p][q] = np.unique(senders[sel])
+    b = max((arr.size for row in need for arr in row), default=0)
+    b = max(b, 1)
+
+    send_idx = np.zeros((k, k, b), np.int32)
+    send_mask = np.zeros((k, k, b), bool)
+    # catalog on device q: rows [0, n_local) local, then [n_local + p*b + s]
+    # = slot s of the payload received from device p
+    slot_of = {}   # (q, global_node) -> catalog index on q
+    for p in range(k):
+        for q in range(k):
+            ids = need[p][q]
+            send_idx[p, q, : ids.size] = ids - p * n_local
+            send_mask[p, q, : ids.size] = True
+            for s, g in enumerate(ids):
+                slot_of[(q, int(g))] = n_local + p * b + s
+
+    e_loc = max(int(np.max(np.bincount(owner_t[emask], minlength=k))), 1) \
+        if emask.any() else 1
+    edge_src_cat = np.zeros((k, e_loc), np.int32)
+    edge_tgt_local = np.zeros((k, e_loc), np.int32)
+    edge_mask_out = np.zeros((k, e_loc), bool)
+    fill = np.zeros(k, np.int32)
+    for i in range(e):
+        if not emask[i]:
+            continue
+        q = int(owner_t[i])
+        j = int(fill[q]); fill[q] += 1
+        tgt = int(receivers[i]) - q * n_local
+        src_owner = int(owner_s[i])
+        if src_owner == q:
+            cat = int(senders[i]) - q * n_local
+        else:
+            cat = slot_of[(q, int(senders[i]))]
+        edge_src_cat[q, j] = cat
+        edge_tgt_local[q, j] = tgt
+        edge_mask_out[q, j] = True
+
+    return HaloPlan(
+        n_local=n_local,
+        send_idx=jnp.asarray(send_idx),
+        send_mask=jnp.asarray(send_mask),
+        edge_src_cat=jnp.asarray(edge_src_cat),
+        edge_tgt_local=jnp.asarray(edge_tgt_local),
+        edge_mask=jnp.asarray(edge_mask_out),
+    )
+
+
+def packed_halo_aggregate(h_local, plan_local, message_fn, axis: str = "gp"):
+    """One packed-halo message round (device-side, inside shard_map).
+
+    plan_local: this device's slice of the HaloPlan arrays (leading [k] axis
+    sharded, i.e. send_idx [k, B], edge_src_cat [E_loc], ...).
+
+    Exchange the boundary payload with ONE all_to_all, build the catalog
+    [n_local + k*B, d], then gather -> message -> masked segment-sum onto
+    local targets.  No reverse scatter: edges live with their targets.
+    """
+    if plan_local["send_idx"].ndim == 3:
+        # arrays arrive from shard_map with a leading singleton shard axis
+        plan_local = jax.tree.map(lambda x: x[0], plan_local)
+    send_idx, send_mask = plan_local["send_idx"], plan_local["send_mask"]
+    k, b = send_idx.shape
+    payload = h_local[send_idx] * send_mask[..., None].astype(h_local.dtype)
+    recv = collectives.all_to_all(payload, axis, 0, 0)     # [k, B, d]
+    catalog = jnp.concatenate(
+        [h_local, recv.reshape(k * b, h_local.shape[-1])], axis=0
+    )
+    h_src = catalog[plan_local["edge_src_cat"]]
+    h_tgt = h_local[plan_local["edge_tgt_local"]]
+    msg = message_fn(h_tgt, h_src)
+    return segment_sum(msg, plan_local["edge_tgt_local"], h_local.shape[0],
+                       mask=plan_local["edge_mask"])
+
+
 def gp_edge_aggregate(
     h_local,
     senders,          # [E_local] global node ids (this device's edge shard)

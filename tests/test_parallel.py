@@ -189,3 +189,52 @@ class TestTensorParallel:
             np.testing.assert_allclose(
                 gl_shard[p], gl_full[p * 2 : (p + 1) * 2],
                 rtol=1e-3, atol=1e-3)
+
+
+def test_packed_halo_matches_single_device():
+    """Packed boundary-only halo exchange (build_halo_plan +
+    packed_halo_aggregate) reproduces the single-device gather->message->
+    segment_sum over a random graph, and moves only the boundary payload."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from geometric_message_passing_tpu.ops.scatter import segment_sum
+    from geometric_message_passing_tpu.parallel.halo import (
+        build_halo_plan, packed_halo_aggregate)
+    from geometric_message_passing_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    k, n_local, d, e = 4, 8, 16, 120
+    n = k * n_local
+    h = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    snd = rng.integers(0, n, e).astype(np.int32)
+    rcv = rng.integers(0, n, e).astype(np.int32)
+    emask = rng.random(e) > 0.1
+
+    def msg_fn(h_tgt, h_src):
+        return h_tgt * 0.5 + jnp.tanh(h_src)
+
+    ref = segment_sum(msg_fn(h[rcv], h[snd]), jnp.asarray(rcv), n,
+                      mask=jnp.asarray(emask))
+
+    plan = build_halo_plan(snd, rcv, n, k, edge_mask=emask)
+    mesh = make_mesh((k,), ("gp",), devices=jax.devices()[:k])
+    plan_arrays = {
+        "send_idx": plan.send_idx, "send_mask": plan.send_mask,
+        "edge_src_cat": plan.edge_src_cat,
+        "edge_tgt_local": plan.edge_tgt_local, "edge_mask": plan.edge_mask,
+    }
+
+    def shard_fn(h_loc, pl):
+        return packed_halo_aggregate(h_loc, pl, msg_fn, axis="gp")
+
+    out = jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("gp"), P("gp")),
+        out_specs=P("gp"),
+        check_vma=False,
+    ))(h.reshape(k, n_local, d).reshape(k * n_local, d), plan_arrays)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # the packed payload is strictly smaller than a full all_gather
+    assert plan.send_idx.shape[-1] < n_local * k
