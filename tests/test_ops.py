@@ -102,3 +102,39 @@ class TestSphericalHarmonics:
         sh = np.asarray(spherical_harmonics(v, 2))
         assert np.allclose(sh[:, 1:], 0.0)
         assert np.allclose(sh[:, 0], 1.0)
+
+
+class TestRadiusGraph:
+    def test_matches_naive_pairwise(self):
+        from geometric_message_passing_tpu.ops.radius_graph import radius_graph
+
+        rng = np.random.default_rng(0)
+        pos = rng.normal(size=(60, 3)) * 2.0
+        batch = np.repeat(np.arange(3), 20)
+        r = 1.5
+        ei = radius_graph(pos, r, batch=batch)
+        got = set(zip(ei[0].tolist(), ei[1].tolist()))
+        want = set()
+        for i in range(60):
+            for j in range(60):
+                if i == j or batch[i] != batch[j]:
+                    continue
+                if np.sum((pos[i] - pos[j]) ** 2) <= r * r:
+                    want.add((i, j))
+        assert got == want
+
+    def test_max_num_neighbors(self):
+        from geometric_message_passing_tpu.ops.radius_graph import radius_graph
+
+        rng = np.random.default_rng(1)
+        pos = rng.normal(size=(40, 3))
+        ei = radius_graph(pos, 10.0, max_num_neighbors=5)
+        counts = np.bincount(ei[0], minlength=40)
+        assert counts.max() <= 5
+        # kept neighbors are the nearest ones
+        i = 0
+        nbrs = ei[1][ei[0] == i]
+        d = np.linalg.norm(pos - pos[i], axis=1)
+        d[i] = np.inf
+        nearest5 = set(np.argsort(d)[:5].tolist())
+        assert set(nbrs.tolist()) == nearest5
