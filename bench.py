@@ -40,6 +40,7 @@ def main():
     from geometric_message_passing_tpu import datasets as ds
     from geometric_message_passing_tpu.experiments.train import (
         fit_regression,
+        init_variables,
         seed_everything,
     )
     from geometric_message_passing_tpu.graph import GraphLoader, pad_sizes, random_split
@@ -57,7 +58,7 @@ def main():
 
     model = EGNNFusedModel(num_layers=n_layers, emb_dim=128, in_dim=1,
                            out_dim=1, pool="first")
-    variables = model.init(seed_everything(0), next(iter(tr_l)))
+    variables = init_variables(model, seed_everything(0), next(iter(tr_l)))
     setup_time = time.time() - t_setup
 
     # warmup run (includes XLA compile; persisted to cache)

@@ -48,6 +48,25 @@ def seed_everything(seed: int = 0):
     return jax.random.PRNGKey(seed)
 
 
+def init_variables(model, rng, batch):
+    """Initialize on the HOST CPU backend and transfer once.
+
+    Eager init on an accelerator dispatches hundreds of tiny ops (each
+    paying launch/tunnel latency — ~2 minutes for MACE max_ell=3), and
+    jitting init embeds the CG U tables as giant program constants.  Init
+    FLOPs are trivial; the host is the right place for them."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return model.init(rng, batch)
+    with jax.default_device(cpu):
+        v = model.init(rng, jax.device_put(batch, cpu))
+    dev = jax.devices()[0]
+    if dev.platform != "cpu":
+        v = jax.device_put(v, dev)
+    return v
+
+
 # ---------------------------------------------------------------------------
 # Losses / metrics over padded batches
 # ---------------------------------------------------------------------------
@@ -559,7 +578,7 @@ def run_experiment(model, train_loader, val_loader, test_loader, n_epochs=100,
     """Classification repeat protocol (train_utils.py:99-117): the SAME
     parameters continue training across repeats (reference quirk)."""
     init_batch = init_batch or next(iter(train_loader))
-    variables = model.init(seed_everything(0), init_batch)
+    variables = init_variables(model, seed_everything(0), init_batch)
     best_val, test_acc, times = [], [], []
     for idx in range(n_times):
         seed_everything(idx)
@@ -587,7 +606,7 @@ def run_experiment_reg(model_func, model_args, train_loader, val_loader,
     for idx in range(n_times):
         model = model_func(**model_args)
         rng = seed_everything(idx)
-        variables = model.init(rng, init_batch)
+        variables = init_variables(model, rng, init_batch)
         res = fit_regression(
             model, variables, train_loader, val_loader, test_loader,
             n_epochs=n_epochs, lr=lr, cosine=cosine, loss_mask=loss_mask,

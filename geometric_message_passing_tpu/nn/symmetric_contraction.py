@@ -37,12 +37,21 @@ class Contraction(nn.Module):
     def __call__(self, x, y=None):
         """x: [n, channels, irreps_in.dim]; y: optional one-hot [n, elements].
         Returns [n, channels * ir_out.dim]."""
-        U = {
-            nu: jnp.asarray(
-                u_matrix_real(self.irreps_in, self.ir_out, nu), dtype=x.dtype
+        # U tensors live in the non-trainable "u_tables" collection rather
+        # than as jit constants: at max_ell=3/correlation=3 they total ~16MB
+        # per layer and inlining them as HLO literals blew program text to
+        # ~60MB — minutes of (remote) compile time.  As runtime arrays they
+        # are transferred to HBM once and the program stays small.
+        U = {}
+        for nu in range(1, self.correlation + 1):
+            var = self.variable(
+                "u_tables", f"u{nu}",
+                lambda nu=nu: jnp.asarray(
+                    u_matrix_real(self.irreps_in, self.ir_out, nu),
+                    dtype=jnp.float32,
+                ),
             )
-            for nu in range(1, self.correlation + 1)
-        }
+            U[nu] = var.value.astype(x.dtype)
         W = {}
         for nu in range(1, self.correlation + 1):
             num_params = U[nu].shape[-1]

@@ -80,7 +80,9 @@ def shard_mace_variables(variables, model, tp_size: int):
         for path, x in flat.items():
             x = np.asarray(x)
             key = "/".join(path)
-            if key.startswith("emb_in/"):
+            if col == "u_tables":
+                parts = [x] * tp_size   # channel-free CG constants: replicate
+            elif key.startswith("emb_in/"):
                 parts = np.split(x, tp_size, axis=-1)
             elif "/fc/Dense_1/" in key:
                 layer = int(path[0].split("_")[1])
