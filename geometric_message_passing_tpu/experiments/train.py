@@ -410,8 +410,11 @@ def fit_resident(
 
     def slot_of(loader):
         if not hasattr(loader, "_slot_cache"):
-            loader._slot_cache = build_slot_data(loader.graphs,
-                                                 y_dtype=loader.y_dtype)
+            loader._slot_cache = build_slot_data(
+                loader.graphs, y_dtype=loader.y_dtype,
+                with_triplets=loader.with_triplets,
+                with_quads=loader.with_quads,
+            )
         return loader._slot_cache
 
     slot_train = slot_of(train_loader)
@@ -532,7 +535,7 @@ def fit_regression(model, variables, train_loader, val_loader, test_loader,
         y_dim = int(np.asarray(next(iter(val_loader)).y.shape[-1]))
         mask_cols = y_dim // 2
     plateau = PlateauConfig(mode="max", factor=0.9, patience=15, min_lr=1e-4)
-    if not train_loader.with_triplets:
+    if True:  # resident path covers triplet models too (slotted indices)
         return fit_resident(
             model, variables, train_loader, val_loader, test_loader,
             n_epochs=n_epochs, lr=lr, task="regression", cosine=cosine,
@@ -554,7 +557,7 @@ def fit_regression(model, variables, train_loader, val_loader, test_loader,
 def fit_classification(model, variables, train_loader, val_loader, test_loader,
                        n_epochs=100, lr=1e-4, seed=0):
     plateau = PlateauConfig(mode="max", factor=0.9, patience=25, min_lr=1e-5)
-    if not train_loader.with_triplets:
+    if True:  # resident path covers triplet models too
         return fit_resident(
             model, variables, train_loader, val_loader, test_loader,
             n_epochs=n_epochs, lr=lr, task="classification", cosine=False,

@@ -212,6 +212,17 @@ class SlotData:
     node_mask: jnp.ndarray    # [M+1, Sn] bool
     edge_mask: jnp.ndarray    # [M+1, Se] bool
     y: jnp.ndarray            # [M+1, y_dim]
+    # optional slotted triplet/quad structure (directional models); local
+    # node/edge/triplet indices, padded to St/Sq per graph
+    tri_i: Optional[jnp.ndarray] = None      # [M+1, St]
+    tri_j: Optional[jnp.ndarray] = None
+    tri_k: Optional[jnp.ndarray] = None
+    tri_kj: Optional[jnp.ndarray] = None     # edge ids
+    tri_ji: Optional[jnp.ndarray] = None
+    tri_mask: Optional[jnp.ndarray] = None
+    q_trip: Optional[jnp.ndarray] = None     # [M+1, Sq] triplet ids
+    q_kn: Optional[jnp.ndarray] = None       # [M+1, Sq] node ids
+    q_mask: Optional[jnp.ndarray] = None
 
     @property
     def num_graphs(self) -> int:      # real graphs (sentinel excluded)
@@ -228,7 +239,9 @@ class SlotData:
 
 def build_slot_data(graphs: Sequence[Graph], y_dtype=np.float32,
                     sn: Optional[int] = None,
-                    se: Optional[int] = None) -> SlotData:
+                    se: Optional[int] = None,
+                    with_triplets: bool = False,
+                    with_quads: bool = False) -> SlotData:
     """Host-side one-time packing of graphs into slot layout."""
     m = len(graphs)
     sn = sn or max(g.num_nodes for g in graphs)
@@ -252,11 +265,43 @@ def build_slot_data(graphs: Sequence[Graph], y_dtype=np.float32,
         node_mask[i, :nn] = True
         edge_mask[i, :ne] = True
         y[i] = ys[i].astype(y_dtype)
+
+    tri_kw = {}
+    if with_triplets or with_quads:
+        from .triplets import graph_triplets
+
+        tris = [graph_triplets(g, with_quads) for g in graphs]
+        st = max(max((len(t[0]) for t in tris), default=1), 1)
+        names = ("tri_i", "tri_j", "tri_k", "tri_kj", "tri_ji")
+        fills = (sn - 1, sn - 1, sn - 1, se - 1, se - 1)
+        arrs = {k: np.full((m + 1, st), f, np.int32)
+                for k, f in zip(names, fills)}
+        tmask = np.zeros((m + 1, st), bool)
+        for i, t in enumerate(tris):
+            nt = len(t[0])
+            for k, a in zip(names, t[:5]):
+                arrs[k][i, :nt] = a
+            tmask[i, :nt] = True
+        tri_kw = {k: jnp.asarray(v) for k, v in arrs.items()}
+        tri_kw["tri_mask"] = jnp.asarray(tmask)
+        if with_quads:
+            sq = max(max((len(t[5]) for t in tris), default=1), 1)
+            q_trip = np.full((m + 1, sq), st - 1, np.int32)
+            q_kn = np.full((m + 1, sq), sn - 1, np.int32)
+            qmask = np.zeros((m + 1, sq), bool)
+            for i, t in enumerate(tris):
+                nq = len(t[5])
+                q_trip[i, :nq] = t[5]
+                q_kn[i, :nq] = t[6]
+                qmask[i, :nq] = True
+            tri_kw.update(q_trip=jnp.asarray(q_trip), q_kn=jnp.asarray(q_kn),
+                          q_mask=jnp.asarray(qmask))
+
     return SlotData(
         atoms=jnp.asarray(atoms), pos=jnp.asarray(pos),
         senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
         node_mask=jnp.asarray(node_mask), edge_mask=jnp.asarray(edge_mask),
-        y=jnp.asarray(y),
+        y=jnp.asarray(y), **tri_kw,
     )
 
 
@@ -286,10 +331,30 @@ def assemble_batch(slot: SlotData, idx) -> GraphBatch:
     first_node = jnp.concatenate(
         [off, jnp.asarray([b * sn - 1], jnp.int32)]
     )
+    triplets = None
+    if slot.tri_i is not None:
+        eoff = (jnp.arange(b, dtype=jnp.int32) * se)[:, None]
+        noff = off[:, None]
+        tmask = slot.tri_mask[idx].reshape(-1)
+        tri = dict(
+            idx_i=(slot.tri_i[idx] + noff).reshape(-1),
+            idx_j=(slot.tri_j[idx] + noff).reshape(-1),
+            idx_k=(slot.tri_k[idx] + noff).reshape(-1),
+            idx_kj=(slot.tri_kj[idx] + eoff).reshape(-1),
+            idx_ji=(slot.tri_ji[idx] + eoff).reshape(-1),
+            t_mask=tmask,
+        )
+        if slot.q_trip is not None:
+            st = slot.tri_i.shape[1]
+            toff = (jnp.arange(b, dtype=jnp.int32) * st)[:, None]
+            tri["q_trip"] = (slot.q_trip[idx] + toff).reshape(-1)
+            tri["q_kn"] = (slot.q_kn[idx] + noff).reshape(-1)
+            tri["q_mask"] = slot.q_mask[idx].reshape(-1)
+        triplets = TripletData(**tri)
     return GraphBatch(
         atoms=atoms, pos=pos, senders=senders, receivers=receivers,
         graph_id=graph_id, y=y, node_mask=node_mask, edge_mask=edge_mask,
-        graph_mask=graph_mask, first_node=first_node,
+        graph_mask=graph_mask, first_node=first_node, triplets=triplets,
     )
 
 

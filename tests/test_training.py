@@ -139,3 +139,36 @@ def test_slot_assembly_matches_blockdiagonal_batching():
     np.testing.assert_allclose(np.asarray(out_part[1]),
                                np.asarray(out_ref[7]), atol=1e-5)
     assert not bool(part.graph_mask[2]) and not bool(part.graph_mask[3])
+
+
+def test_slot_assembly_triplets_match_blockdiagonal():
+    """Slotted triplet indices (DimeNet/SphereNet path) give the same model
+    outputs as the host block-diagonal batching."""
+    import jax.numpy as jnp
+
+    from geometric_message_passing_tpu.graph import (
+        GraphLoader, assemble_batch, build_slot_data)
+    from geometric_message_passing_tpu.models import (
+        DimeNetPPModel, SphereNetModel)
+
+    graphs = ds.create_star_graphs(num=6, fold=[3, 4], dim=3,
+                                   target="max", seed=5)
+    loader = GraphLoader(graphs, batch_size=6, with_quads=True)
+    ref_batch = next(iter(loader))
+    slot = build_slot_data(graphs, with_triplets=True, with_quads=True)
+    slot_batch = assemble_batch(slot, jnp.arange(6, dtype=jnp.int32))
+    assert slot_batch.triplets is not None
+
+    for model in (
+        DimeNetPPModel(num_layers=2, hidden_channels=16, in_dim=1,
+                       out_dim=1, num_spherical=3, num_radial=4,
+                       out_emb_channels=16),
+        SphereNetModel(num_layers=1, hidden_channels=16, in_dim=1, out_dim=1,
+                       num_spherical=3, num_radial=4, out_emb_channels=16),
+    ):
+        variables = model.init(seed_everything(0), ref_batch)
+        out_ref = model.apply(variables, ref_batch)
+        out_slot = model.apply(variables, slot_batch)
+        np.testing.assert_allclose(np.asarray(out_ref[:6]),
+                                   np.asarray(out_slot[:6]),
+                                   rtol=1e-4, atol=1e-4)
