@@ -42,6 +42,7 @@ def main():
         fit_regression,
         init_variables,
         seed_everything,
+        tiny_init_batch,
     )
     from geometric_message_passing_tpu.graph import GraphLoader, pad_sizes, random_split
     from geometric_message_passing_tpu.models.egnn_fused import EGNNFusedModel
@@ -58,7 +59,7 @@ def main():
 
     model = EGNNFusedModel(num_layers=n_layers, emb_dim=128, in_dim=1,
                            out_dim=1, pool="first")
-    variables = init_variables(model, seed_everything(0), next(iter(tr_l)))
+    variables = init_variables(model, seed_everything(0), tiny_init_batch(tr_l))
     setup_time = time.time() - t_setup
 
     # warmup run (includes XLA compile; persisted to cache)

@@ -48,6 +48,17 @@ def seed_everything(seed: int = 0):
     return jax.random.PRNGKey(seed)
 
 
+def tiny_init_batch(loader: GraphLoader) -> GraphBatch:
+    """A minimal 2-graph batch for parameter init: parameter shapes are
+    independent of batch size, and eager init cost scales with the batch
+    (~70s for MACE on a full batch, ~2s on this)."""
+    small = GraphLoader(
+        loader.graphs[:2], batch_size=2, y_dtype=loader.y_dtype,
+        with_triplets=loader.with_triplets, with_quads=loader.with_quads,
+    )
+    return next(iter(small))
+
+
 def init_variables(model, rng, batch):
     """Initialize on the HOST CPU backend and transfer once.
 
@@ -580,7 +591,7 @@ def run_experiment(model, train_loader, val_loader, test_loader, n_epochs=100,
                    n_times=10, verbose=False, init_batch=None, lr=1e-4):
     """Classification repeat protocol (train_utils.py:99-117): the SAME
     parameters continue training across repeats (reference quirk)."""
-    init_batch = init_batch or next(iter(train_loader))
+    init_batch = init_batch or tiny_init_batch(train_loader)
     variables = init_variables(model, seed_everything(0), init_batch)
     best_val, test_acc, times = [], [], []
     for idx in range(n_times):
@@ -604,7 +615,7 @@ def run_experiment_reg(model_func, model_args, train_loader, val_loader,
                        cosine=False, lr=1e-4, loss_mask=False):
     """Regression repeat protocol (train_utils.py:221-241): model re-init
     each repeat."""
-    init_batch = next(iter(train_loader))
+    init_batch = tiny_init_batch(train_loader)
     best_val, test_mae, times = [], [], []
     for idx in range(n_times):
         model = model_func(**model_args)
