@@ -402,6 +402,171 @@ def _build_run_resident(model, n_epochs: int, task: str, cosine: bool,
     return run
 
 
+def _build_stepwise_programs(model, n_epochs: int, task: str, cosine: bool,
+                             mask_cols: Optional[int], steps: int,
+                             batch_size: int):
+    """Two small jit programs (one-epoch trainer + evaluator) for the
+    host-looped fit.  Giant monolithic whole-experiment programs can take
+    tens of minutes in (remote) XLA compile for heavyweight equivariant
+    models; two small programs compile in ~a minute and the host epoch loop
+    costs ~1ms/epoch of dispatch."""
+    from ..graph import assemble_batch
+
+    apply_train, apply_eval = _build_apply(model)
+    if task == "regression":
+        loss_fn = partial(l1_sum_loss, mask_cols=mask_cols)
+    else:
+        loss_fn = cross_entropy_mean_loss
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
+
+    def train_step_of(slot):
+        def train_step(carry, idx_row):
+            variables, opt_state, rng, lr_now = carry
+            rng, sub = jax.random.split(rng)
+            batch = assemble_batch(slot, idx_row)
+
+            def loss_of(params):
+                vs = {**variables, "params": params}
+                pred, mutated = apply_train(vs, batch, sub)
+                return loss_fn(pred, batch), mutated
+
+            (loss, mutated), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(variables["params"])
+            opt_state.hyperparams["learning_rate"] = lr_now
+            updates, opt_state2 = tx.update(grads, opt_state,
+                                            variables["params"])
+            params = optax.apply_updates(variables["params"], updates)
+            variables = {**variables, "params": params, **mutated}
+            return (variables, opt_state2, rng, lr_now), loss
+        return train_step
+
+    @jax.jit
+    def epoch_prog(variables, opt_state, slot_train, epoch_idx, shuffle_key,
+                   drop_rng, lr_now):
+        m = slot_train.num_graphs
+        pad_len = steps * batch_size - m
+        perm = jax.random.permutation(
+            jax.random.fold_in(shuffle_key, epoch_idx), m
+        ).astype(jnp.int32)
+        slots = jnp.concatenate(
+            [perm, jnp.full((pad_len,), m, jnp.int32)]
+        ).reshape(steps, batch_size)
+        (variables, opt_state, _, _), losses = jax.lax.scan(
+            train_step_of(slot_train),
+            (variables, opt_state, drop_rng, lr_now), slots,
+        )
+        return variables, opt_state, jnp.mean(losses)
+
+    @jax.jit
+    def eval_prog(variables, slot, plan, num_examples):
+        def body(carry, idx_row):
+            batch = assemble_batch(slot, idx_row)
+            pred = apply_eval(variables, batch)
+            if task == "regression":
+                return carry + l1_sum_loss(pred, batch, mask_cols), None
+            c, n = accuracy_count(pred, batch)
+            return carry + c.astype(jnp.float32), None
+
+        total, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), plan)
+        if task == "regression":
+            return total / num_examples
+        return total / num_examples * 100.0
+
+    return epoch_prog, eval_prog
+
+
+# models whose whole-experiment monolith is too big for fast XLA compiles;
+# they use the host-looped stepwise engine instead
+STEPWISE_MODELS = ("MACEModel", "TFNModel", "DimeNetPPModel",
+                   "SphereNetModel", "GVPGNNModel")
+
+
+def fit_stepwise(
+    model, variables, train_loader, val_loader, test_loader,
+    n_epochs: int, lr: float = 1e-4, task: str = "regression",
+    cosine: bool = False, plateau: Optional[PlateauConfig] = None,
+    mask_cols: Optional[int] = None, seed: int = 0,
+) -> FitResult:
+    """Host epoch loop over the two stepwise programs; semantics identical to
+    the monolithic fit (same shuffles, plateau rule, best-val test)."""
+    from ..graph import build_slot_data, eval_slot_indices
+
+    def slot_of(loader):
+        if not hasattr(loader, "_slot_cache"):
+            loader._slot_cache = build_slot_data(
+                loader.graphs, y_dtype=loader.y_dtype,
+                with_triplets=loader.with_triplets,
+                with_quads=loader.with_quads,
+            )
+        return loader._slot_cache
+
+    slot_train, slot_val, slot_test = (slot_of(train_loader),
+                                       slot_of(val_loader),
+                                       slot_of(test_loader))
+    b = train_loader.batch_size
+    steps = len(train_loader)
+    val_plan = jnp.asarray(eval_slot_indices(slot_val.num_graphs, b))
+    test_plan = jnp.asarray(eval_slot_indices(slot_test.num_graphs, b))
+
+    key = (model, n_epochs, task, cosine, mask_cols, steps, b, "stepwise",
+           _tree_key(slot_train), _tree_key(slot_val), _tree_key(slot_test))
+    progs = _RUN_CACHE.get(key)
+    if progs is None:
+        progs = _build_stepwise_programs(model, n_epochs, task, cosine,
+                                         mask_cols, steps, b)
+        _RUN_CACHE[key] = progs
+    epoch_prog, eval_prog = progs
+
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    opt_state = tx.init(variables["params"])
+    rng0, shuffle_key = jax.random.split(jax.random.PRNGKey(seed))
+
+    num_val = jnp.asarray(val_loader.num_examples, jnp.float32)
+    num_test = jnp.asarray(test_loader.num_examples, jnp.float32)
+
+    # host-side plateau state (torch ReduceLROnPlateau semantics, mirrors
+    # plateau_update)
+    lr_now, sched_best, sched_bad = float(lr), -float("inf"), 0
+    better = (lambda a, b: a <= b) if task == "regression" else (
+        lambda a, b: a >= b)
+    best_val = float("inf") if task == "regression" else -float("inf")
+    test_metric = 0.0
+    per_epoch = []
+    t0 = time.time()
+    for epoch in range(n_epochs):
+        if cosine:
+            lr_now = float(cosine_lr(lr, 1e-6, n_epochs, epoch))
+        variables, opt_state, mean_loss = epoch_prog(
+            variables, opt_state, slot_train, jnp.asarray(epoch),
+            shuffle_key, jax.random.fold_in(rng0, epoch),
+            jnp.asarray(lr_now, jnp.float32),
+        )
+        val_metric = float(eval_prog(variables, slot_val, val_plan, num_val))
+        if better(val_metric, best_val):
+            best_val = val_metric
+            test_metric = float(
+                eval_prog(variables, slot_test, test_plan, num_test))
+        if not cosine and plateau is not None:
+            signed = val_metric if plateau.mode == "max" else -val_metric
+            dynamic = (sched_best * (1 + plateau.threshold)
+                       if sched_best >= 0
+                       else sched_best * (1 - plateau.threshold))
+            improved = signed > dynamic
+            sched_bad = 0 if improved else sched_bad + 1
+            if improved:
+                sched_best = signed
+            if sched_bad > plateau.patience:
+                lr_now = max(lr_now * plateau.factor, plateau.min_lr)
+                sched_bad = 0
+        per_epoch.append((test_metric, val_metric))
+    jax.block_until_ready(variables)
+    train_time = time.time() - t0
+    return FitResult(
+        best_val=best_val, test=test_metric, train_time=train_time,
+        perf_per_epoch=np.asarray(per_epoch), variables=variables,
+    )
+
+
 def fit_resident(
     model,
     variables,
@@ -546,12 +711,14 @@ def fit_regression(model, variables, train_loader, val_loader, test_loader,
         y_dim = int(np.asarray(next(iter(val_loader)).y.shape[-1]))
         mask_cols = y_dim // 2
     plateau = PlateauConfig(mode="max", factor=0.9, patience=15, min_lr=1e-4)
-    if True:  # resident path covers triplet models too (slotted indices)
-        return fit_resident(
-            model, variables, train_loader, val_loader, test_loader,
-            n_epochs=n_epochs, lr=lr, task="regression", cosine=cosine,
-            plateau=plateau, mask_cols=mask_cols, seed=seed,
-        )
+    engine = (fit_stepwise
+              if model.__class__.__name__ in STEPWISE_MODELS
+              else fit_resident)
+    return engine(
+        model, variables, train_loader, val_loader, test_loader,
+        n_epochs=n_epochs, lr=lr, task="regression", cosine=cosine,
+        plateau=plateau, mask_cols=mask_cols, seed=seed,
+    )
     return fit(
         model, variables,
         _stage_epochs(train_loader, n_epochs),
@@ -568,12 +735,14 @@ def fit_regression(model, variables, train_loader, val_loader, test_loader,
 def fit_classification(model, variables, train_loader, val_loader, test_loader,
                        n_epochs=100, lr=1e-4, seed=0):
     plateau = PlateauConfig(mode="max", factor=0.9, patience=25, min_lr=1e-5)
-    if True:  # resident path covers triplet models too
-        return fit_resident(
-            model, variables, train_loader, val_loader, test_loader,
-            n_epochs=n_epochs, lr=lr, task="classification", cosine=False,
-            plateau=plateau, seed=seed,
-        )
+    engine = (fit_stepwise
+              if model.__class__.__name__ in STEPWISE_MODELS
+              else fit_resident)
+    return engine(
+        model, variables, train_loader, val_loader, test_loader,
+        n_epochs=n_epochs, lr=lr, task="classification", cosine=False,
+        plateau=plateau, seed=seed,
+    )
     return fit(
         model, variables,
         _stage_epochs(train_loader, n_epochs),

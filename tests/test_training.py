@@ -172,3 +172,32 @@ def test_slot_assembly_triplets_match_blockdiagonal():
         np.testing.assert_allclose(np.asarray(out_ref[:6]),
                                    np.asarray(out_slot[:6]),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_stepwise_engine_matches_monolith():
+    """fit_stepwise (host epoch loop over small programs, used for
+    heavyweight models whose monolithic program compiles too slowly) must
+    reproduce fit_resident exactly: same shuffle stream, plateau rule, and
+    best-val/test protocol."""
+    from geometric_message_passing_tpu.experiments.train import (
+        PlateauConfig, fit_resident, fit_stepwise, init_variables,
+        tiny_init_batch)
+    from geometric_message_passing_tpu.graph import GraphLoader, pad_sizes
+
+    data = ds.create_star_graphs(num=60, fold=[3, 4], dim=3, target="max",
+                                 seed=7)
+    tr, va, te = random_split(data, [0.5, 0.2, 0.3], seed=0)
+    pad = pad_sizes(data, 10)
+    kw = dict(batch_size=10, pad=pad)
+    tr_l = GraphLoader(tr, shuffle=True, seed=0, **kw)
+    va_l, te_l = GraphLoader(va, **kw), GraphLoader(te, **kw)
+    model = EGNNModel(num_layers=2, emb_dim=32, in_dim=1, out_dim=1,
+                      pool="first")
+    variables = init_variables(model, seed_everything(0), tiny_init_batch(tr_l))
+    plateau = PlateauConfig(mode="max", factor=0.9, patience=15, min_lr=1e-4)
+    args = dict(n_epochs=8, lr=5e-4, task="regression", cosine=False,
+                plateau=plateau, seed=3)
+    r1 = fit_resident(model, variables, tr_l, va_l, te_l, **args)
+    r2 = fit_stepwise(model, variables, tr_l, va_l, te_l, **args)
+    assert abs(r1.best_val - r2.best_val) < 1e-5, (r1.best_val, r2.best_val)
+    assert abs(r1.test - r2.test) < 1e-5, (r1.test, r2.test)
