@@ -486,9 +486,17 @@ def fit_stepwise(
     n_epochs: int, lr: float = 1e-4, task: str = "regression",
     cosine: bool = False, plateau: Optional[PlateauConfig] = None,
     mask_cols: Optional[int] = None, seed: int = 0,
+    checkpoint_dir: Optional[str] = None, checkpoint_every: int = 0,
 ) -> FitResult:
     """Host epoch loop over the two stepwise programs; semantics identical to
-    the monolithic fit (same shuffles, plateau rule, best-val test)."""
+    the monolithic fit (same shuffles, plateau rule, best-val test).
+
+    ``checkpoint_dir``/``checkpoint_every`` enable fault-tolerant training
+    (a subsystem the reference lacks entirely, SURVEY §5): every k epochs
+    the full state (variables, optimizer, scheduler, best-val protocol) is
+    saved via orbax; a restarted run with the same checkpoint_dir resumes
+    from the latest checkpoint and reproduces the uninterrupted run exactly
+    (shuffle/dropout streams are derived per-epoch, not threaded)."""
     from ..graph import build_slot_data, eval_slot_indices
 
     def slot_of(loader):
@@ -532,8 +540,31 @@ def fit_stepwise(
     best_val = float("inf") if task == "regression" else -float("inf")
     test_metric = 0.0
     per_epoch = []
+    start_epoch = 0
+    mgr = None
+    if checkpoint_dir:
+        from flax import serialization
+
+        from ..utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_dir, max_to_keep=2)
+        if mgr.latest_step is not None:
+            # template-free restore of pure state-dicts; optax namedtuple
+            # states round-trip via flax.serialization
+            restored = mgr.restore()["variables"]
+            variables = {**variables,
+                         **jax.tree.map(jnp.asarray, restored["variables"])}
+            opt_state = serialization.from_state_dict(
+                opt_state, restored["opt_state"])
+            h = restored["host"]
+            lr_now, sched_best = float(h["lr_now"]), float(h["sched_best"])
+            sched_bad = int(h["sched_bad"])
+            best_val, test_metric = float(h["best_val"]), float(h["test_metric"])
+            start_epoch = int(mgr.latest_step) + 1
+            per_epoch = [tuple(r) for r in
+                         np.asarray(restored["per_epoch"])[:start_epoch]]
     t0 = time.time()
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         if cosine:
             lr_now = float(cosine_lr(lr, 1e-6, n_epochs, epoch))
         variables, opt_state, mean_loss = epoch_prog(
@@ -559,6 +590,28 @@ def fit_stepwise(
                 lr_now = max(lr_now * plateau.factor, plateau.min_lr)
                 sched_bad = 0
         per_epoch.append((test_metric, val_metric))
+        if mgr is not None and checkpoint_every and \
+                (epoch + 1) % checkpoint_every == 0:
+            pe = np.zeros((n_epochs, 2), np.float32)
+            pe[: epoch + 1] = np.asarray(per_epoch, np.float32)
+            from flax import serialization
+
+            mgr.save(epoch, {
+                # prune empty collections (mutable apply adds an empty
+                # batch_stats dict for models without BN)
+                "variables": {k: v for k, v in variables.items() if v},
+                "opt_state": serialization.to_state_dict(opt_state),
+                "host": dict(
+                    lr_now=np.asarray(lr_now, np.float64),
+                    sched_best=np.asarray(sched_best, np.float64),
+                    sched_bad=np.asarray(sched_bad, np.int64),
+                    best_val=np.asarray(best_val, np.float64),
+                    test_metric=np.asarray(test_metric, np.float64),
+                ),
+                "per_epoch": pe,
+            })
+    if mgr is not None:
+        mgr.close()
     jax.block_until_ready(variables)
     train_time = time.time() - t0
     return FitResult(

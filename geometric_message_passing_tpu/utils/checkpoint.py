@@ -56,7 +56,7 @@ class CheckpointManager:
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template)
             )
-        return self._mgr.restore(step)
+        return self._mgr.restore(step, args=ocp.args.StandardRestore())
 
     @property
     def latest_step(self):

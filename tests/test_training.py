@@ -201,3 +201,38 @@ def test_stepwise_engine_matches_monolith():
     r2 = fit_stepwise(model, variables, tr_l, va_l, te_l, **args)
     assert abs(r1.best_val - r2.best_val) < 1e-5, (r1.best_val, r2.best_val)
     assert abs(r1.test - r2.test) < 1e-5, (r1.test, r2.test)
+
+
+def test_stepwise_checkpoint_resume(tmp_path):
+    """Kill-and-resume: training with periodic checkpoints, restarted from
+    the latest checkpoint, reproduces the uninterrupted run exactly."""
+    from geometric_message_passing_tpu.experiments.train import (
+        PlateauConfig, fit_stepwise, init_variables, tiny_init_batch)
+    from geometric_message_passing_tpu.graph import GraphLoader, pad_sizes
+
+    data = ds.create_star_graphs(num=40, fold=[3, 4], dim=3, target="max",
+                                 seed=9)
+    tr, va, te = random_split(data, [0.5, 0.2, 0.3], seed=0)
+    pad = pad_sizes(data, 10)
+    kw = dict(batch_size=10, pad=pad)
+    tr_l = GraphLoader(tr, shuffle=True, seed=0, **kw)
+    va_l, te_l = GraphLoader(va, **kw), GraphLoader(te, **kw)
+    model = EGNNModel(num_layers=1, emb_dim=16, in_dim=1, out_dim=1)
+    variables = init_variables(model, seed_everything(0), tiny_init_batch(tr_l))
+    plateau = PlateauConfig(mode="max", factor=0.9, patience=2, min_lr=1e-4)
+    args = dict(n_epochs=6, lr=5e-4, task="regression", cosine=False,
+                plateau=plateau, seed=1)
+
+    full = fit_stepwise(model, variables, tr_l, va_l, te_l, **args)
+
+    ckdir = str(tmp_path / "ck")
+    # "crash" after 3 epochs: run with checkpointing but n_epochs=3
+    fit_stepwise(model, variables, tr_l, va_l, te_l,
+                 n_epochs=3, lr=5e-4, task="regression", cosine=False,
+                 plateau=plateau, seed=1,
+                 checkpoint_dir=ckdir, checkpoint_every=1)
+    # resume to 6 epochs from the same directory
+    resumed = fit_stepwise(model, variables, tr_l, va_l, te_l,
+                           checkpoint_dir=ckdir, checkpoint_every=1, **args)
+    assert abs(full.best_val - resumed.best_val) < 1e-5
+    assert abs(full.test - resumed.test) < 1e-5
