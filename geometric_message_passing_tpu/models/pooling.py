@@ -6,7 +6,6 @@ graph's first node, enabling node-level readout)."""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 from ..graph import GraphBatch
 from ..ops.scatter import segment_mean, segment_sum

@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ..irreps import Irreps
 from ..ops.scatter import segment_mean, segment_sum

@@ -13,7 +13,6 @@ for parity with the reference module.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import flax.linen as nn

@@ -10,7 +10,6 @@ ICI via XLA collectives.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Sequence
 
 import jax

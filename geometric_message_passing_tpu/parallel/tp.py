@@ -25,8 +25,6 @@ north star.
 
 from __future__ import annotations
 
-import math
-from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +35,6 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..irreps import Irreps
-from ..nn.equivariant import scale_mul
 from ..nn.tensor_product import EdgeTensorProduct
 
 
