@@ -29,6 +29,49 @@ from ..irreps import Irreps, tp_paths, wigner_3j
 from .equivariant import merge_blocks, split_blocks
 
 
+def _combined_cg(paths, irreps_in: Irreps, irreps_sh: Irreps,
+                 scale: float = 1.0) -> np.ndarray:
+    """Block-sparse combined CG constant C[a, b, M] with path weights folded
+    in: a indexes the per-channel input layout (sum_i d_i over irreps_in),
+    b the SH dim, and M enumerates (path, m3) pairs in ``paths`` order.
+
+    ONE einsum ``tmp[e,u,M] = x[e,u,a] sh[e,b] C[a,b,M]`` then replaces the
+    per-path CG contractions — at MACE max_ell=3 this collapses ~34 einsum
+    kernels (68 with bwd) per conv into 2 dot_generals, which is the
+    dominant compile-time/kernel-count cost on TPU (per-path HLO explosion;
+    the aggregate intermediate [E,u,sum_p d3] is byte-identical to the sum
+    of the old per-path tmps, so peak memory is unchanged)."""
+    a_off = []
+    ix = 0
+    for _, ir in irreps_in:
+        a_off.append(ix)
+        ix += ir.dim
+    L = ix
+    sh_off = []
+    ix = 0
+    for mul, ir in irreps_sh:
+        sh_off.append(ix)
+        ix += mul * ir.dim
+    S = ix
+    M = sum(p.ir_out.dim for p in paths)
+    C = np.zeros((L, S, M), dtype=np.float32)
+    m = 0
+    for p in paths:
+        w3j = wigner_3j(p.ir_in1.l, p.ir_in2.l, p.ir_out.l)
+        d1, d2, d3 = p.ir_in1.dim, p.ir_in2.dim, p.ir_out.dim
+        a0, b0 = a_off[p.i_in1], sh_off[p.i_in2]
+        C[a0 : a0 + d1, b0 : b0 + d2, m : m + d3] = (
+            p.path_weight * scale
+        ) * w3j
+        m += d3
+    return C
+
+
+def _to_channel_layout(x, irreps: Irreps):
+    """Flat [E, sum mul*d] -> [E, mul, sum d] (uniform mul)."""
+    return jnp.concatenate(split_blocks(x, irreps), axis=-1)
+
+
 class EdgeTensorProduct:
     """Stateless descriptor + apply for the fully-connected edge TP.
 
@@ -45,7 +88,11 @@ class EdgeTensorProduct:
         self.irreps_sh = Irreps(irreps_sh)
         self.irreps_out = Irreps(irreps_out)
         self.path_weight_scale = float(path_weight_scale)
-        self.paths = tp_paths(self.irreps_in, self.irreps_sh, self.irreps_out)
+        paths = tp_paths(self.irreps_in, self.irreps_sh, self.irreps_out)
+        # group paths by output irrep (stable): makes both the weight layout
+        # and the combined-CG M axis contiguous per i_out, so the second
+        # stage is one slice + one dot_general per output irrep.
+        self.paths = sorted(paths, key=lambda p: p.i_out)
         assert all(p.mul_in2 == 1 for p in self.paths), "SH multiplicity must be 1"
         self.weight_numel = sum(p.mul_in1 * p.mul_out for p in self.paths)
         # SH block offsets
@@ -54,18 +101,60 @@ class EdgeTensorProduct:
         for mul, ir in self.irreps_sh:
             self._sh_offsets.append((ix, ir.dim))
             ix += mul * ir.dim
+        # combined fast path (uniform input multiplicity — always true for
+        # the model zoo: first conv has a single irrep, hidden convs uniform)
+        muls = {mul for mul, _ in self.irreps_in}
+        self._uniform_mul = muls.pop() if len(muls) == 1 else None
+        if self._uniform_mul is not None:
+            self._C = _combined_cg(self.paths, self.irreps_in, self.irreps_sh,
+                                   self.path_weight_scale)
+            # per-output-irrep group metadata: (i_out, n_paths, m_start, w_start)
+            self._groups = []
+            m = w = 0
+            for i_out, (mul_o, ir_o) in enumerate(self.irreps_out):
+                pids = [p for p in self.paths if p.i_out == i_out]
+                if pids:
+                    self._groups.append(
+                        (i_out, len(pids), m, w, ir_o.dim, pids[0].mul_in1,
+                         mul_o)
+                    )
+                    m += len(pids) * ir_o.dim
+                    w += sum(p.mul_in1 * p.mul_out for p in pids)
 
     def apply(self, x, sh, weights):
         """x: [E, irreps_in.dim]; sh: [E, irreps_sh.dim];
-        weights: [E, weight_numel].  Returns [E, irreps_out.dim].
+        weights: [E, weight_numel].  Returns [E, irreps_out.dim]."""
+        if self._uniform_mul is not None:
+            return self._apply_combined(x, sh, weights)
+        return self._apply_per_path(x, sh, weights)
 
-        Paths feeding the same output irrep are STACKED along the input-mul
-        axis and contracted with ONE batched matmul per output irrep
-        (out = einsum(W_cat[e, sum_u, w], T_cat[e, sum_u, m3])) — the CG
-        pieces stay small fusable VPU ops while the MXU sees a handful of
-        large contractions instead of one per path.  At MACE max_ell=3 this
-        cuts the per-conv dot_general count ~6x (compile time and
-        kernel-count-bound runtime both drop)."""
+    def _apply_combined(self, x, sh, weights):
+        """Stage 1: one 3-operand einsum over the combined CG constant.
+        Stage 2: one batched matmul per output irrep (weights are laid out
+        path-major grouped by i_out, matching stage 1's M axis)."""
+        u = self._uniform_mul
+        xr = _to_channel_layout(x, self.irreps_in)        # [E, u, L]
+        C = jnp.asarray(self._C, dtype=x.dtype)
+        tmp = jnp.einsum("...ua,...b,abm->...um", xr, sh, C)   # [E, u, M]
+        outs = [None] * len(self.irreps_out)
+        for i_out, n_p, m0, w0, d3, _, mul_o in self._groups:
+            T = tmp[..., m0 : m0 + n_p * d3].reshape(
+                tmp.shape[:-1] + (n_p, d3)
+            )                                             # [E, u, P, d3]
+            nW = n_p * u * mul_o
+            W = weights[..., w0 : w0 + nW].reshape(
+                weights.shape[:-1] + (n_p, u, mul_o)
+            )                                             # [E, P, u, w]
+            outs[i_out] = jnp.einsum("...upm,...puw->...wm", T, W)
+        for k, (mul, ir) in enumerate(self.irreps_out):
+            if outs[k] is None:
+                outs[k] = jnp.zeros(x.shape[:-1] + (mul, ir.dim), x.dtype)
+        return merge_blocks(outs)
+
+    def _apply_per_path(self, x, sh, weights):
+        """Fallback for non-uniform input multiplicities: per-path CG
+        contraction, paths feeding one output irrep stacked along the
+        input-mul axis into one batched matmul per output irrep."""
         xs = split_blocks(x, self.irreps_in)
         groups = {}   # i_out -> ([tmp...], [W...])
         w_off = 0
@@ -122,14 +211,46 @@ class EdgeTensorProductUVU:
             self.irreps_in, self.irreps_sh, Irreps(target)
         )
         assert all(p.mul_in2 == 1 for p in self.paths)
+        # each 'uvu' path owns its output slot; ordering paths by slot makes
+        # the combined-CG M axis match the merged output layout directly.
+        self.paths = sorted(self.paths, key=lambda p: p.i_out)
         self.weight_numel = sum(p.mul_in1 for p in self.paths)
         self._sh_offsets = []
         ix = 0
         for mul, ir in self.irreps_sh:
             self._sh_offsets.append((ix, ir.dim))
             ix += mul * ir.dim
+        muls = {mul for mul, _ in self.irreps_in}
+        self._uniform_mul = muls.pop() if len(muls) == 1 else None
+        if self._uniform_mul is not None:
+            self._C = _combined_cg(self.paths, self.irreps_in, self.irreps_sh)
+            self._d3 = np.array([p.ir_out.dim for p in self.paths])
 
     def apply(self, x, sh, weights):
+        if self._uniform_mul is not None:
+            return self._apply_combined(x, sh, weights)
+        return self._apply_per_path(x, sh, weights)
+
+    def _apply_combined(self, x, sh, weights):
+        """One combined-CG einsum + one broadcast multiply by the per-edge
+        'uvu' weights; the M axis is already in output-slot order so the
+        result only needs the [u, d3]-per-slot flattening."""
+        u = self._uniform_mul
+        P = len(self.paths)
+        xr = _to_channel_layout(x, self.irreps_in)            # [E, u, L]
+        C = jnp.asarray(self._C, dtype=x.dtype)
+        tmp = jnp.einsum("...ua,...b,abm->...um", xr, sh, C)  # [E, u, M]
+        W = weights.reshape(weights.shape[:-1] + (P, u))      # [E, P, u]
+        W = jnp.repeat(jnp.swapaxes(W, -1, -2), self._d3, axis=-1,
+                       total_repeat_length=int(self._d3.sum()))  # [E, u, M]
+        y = tmp * W
+        # merge: per slot [E, u, d3] -> [E, u*d3], concat (slots == paths)
+        m0s = np.concatenate([[0], np.cumsum(self._d3)[:-1]])
+        return merge_blocks(
+            [y[..., m0 : m0 + d3] for m0, d3 in zip(m0s, self._d3)]
+        )
+
+    def _apply_per_path(self, x, sh, weights):
         xs = split_blocks(x, self.irreps_in)
         outs = [None] * len(self.irreps_out)
         w_off = 0
