@@ -101,6 +101,30 @@ class IrrepsLinear(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        ins, outs_ir = Irreps(self.irreps_in), Irreps(self.irreps_out)
+        # fast path: identical irrep lists (the common square map, e.g.
+        # MACE product-basis -> hidden). One batched dot_general over the
+        # per-channel column axis instead of one dot per irrep: the tiny
+        # [u,w] params are repeated across each irrep's 2l+1 columns (cheap
+        # param-side ops) and contracted in channel layout [n,u,L].
+        if [ir for _, ir in ins] == [ir for _, ir in outs_ir] and \
+                len({m for m, _ in ins}) == 1 and \
+                len({m for m, _ in outs_ir}) == 1:
+            u = ins[0][0]
+            w = outs_ir[0][0]
+            Ws = []
+            for k, (_, ir) in enumerate(ins):
+                W = self.param(
+                    f"w{k}_{k}", nn.initializers.normal(stddev=1.0), (u, w)
+                )
+                fan = self.fan_mult * u
+                Ws.append(jnp.repeat(
+                    (W / math.sqrt(max(fan, 1)))[:, :, None], ir.dim, axis=2
+                ))
+            W_L = jnp.concatenate(Ws, axis=2)              # [u, w, L]
+            xr = jnp.concatenate(split_blocks(x, ins), axis=-1)  # [n, u, L]
+            y = jnp.einsum("...ua,uwa->...wa", xr, W_L)
+            return inverse_reshape_irreps(y, outs_ir)
         xs = split_blocks(x, self.irreps_in)
         outs = []
         for ko, (mul_out, ir_out) in enumerate(self.irreps_out):

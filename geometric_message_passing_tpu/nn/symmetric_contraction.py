@@ -78,7 +78,20 @@ class Contraction(nn.Module):
 
 
 class SymmetricContraction(nn.Module):
-    """One Contraction per output irrep, concatenated (symmetric_contraction.py:69-85)."""
+    """All output irreps contracted in ONE fused einsum chain.
+
+    The reference runs one ``Contraction`` per output irrep
+    (symmetric_contraction.py:69-85) — 6 einsums per irrep per layer.  Here
+    the per-irrep U tensors are stacked BLOCK-DIAGONALLY over
+    (output_dim, n_paths): U_all[o, i1..inu, k] with each irrep's block at
+    its (o, k) offsets and zeros elsewhere, so a single descending-nu chain
+    produces every output irrep at once (the zero blocks annihilate cross
+    terms — numerics are exactly the per-irrep results).  Cuts the
+    per-layer dot_general count 4x at max_ell=3 and keeps the aggregate
+    intermediate [n, c, D, d, d] the same size as the per-irrep sum.
+    Per-irrep weight PARAMS are kept separate (same shapes/init as the
+    reference) and concatenated at trace time.
+    """
 
     irreps_in: Irreps          # node feature irreps (uniform multiplicity)
     irreps_out: Irreps
@@ -93,17 +106,65 @@ class SymmetricContraction(nn.Module):
         assert len(muls) == 1
         num_features = muls.pop()
         coupling = Irreps([(1, ir) for _, ir in self.irreps_in])
-        outs = []
-        for mul, ir in self.irreps_out:
-            outs.append(
-                Contraction(
-                    irreps_in=coupling,
-                    ir_out=ir,
-                    correlation=self.correlation,
-                    num_features=num_features,
-                    element_dependent=self.element_dependent,
-                    num_elements=self.num_elements,
-                    name=f"contraction_{ir}",
-                )(x, y)
+        irs_out = [ir for _, ir in self.irreps_out]
+        D = sum(ir.dim for ir in irs_out)
+
+        def stacked_u(nu):
+            blocks = []
+            for ir in irs_out:
+                u = np.asarray(
+                    u_matrix_real(coupling, ir, nu), dtype=np.float32
+                )
+                if u.ndim == nu + 1:     # scalar output: d_out axis omitted
+                    u = u[None]
+                blocks.append(u)
+            K = sum(b.shape[-1] for b in blocks)
+            d = blocks[0].shape[1]
+            out = np.zeros((D,) + (d,) * nu + (K,), dtype=np.float32)
+            o = k = 0
+            for b in blocks:
+                out[o : o + b.shape[0], ..., k : k + b.shape[-1]] = b
+                o += b.shape[0]
+                k += b.shape[-1]
+            return out
+
+        U, W = {}, {}
+        for nu in range(1, self.correlation + 1):
+            var = self.variable(
+                "u_tables", f"u{nu}",
+                lambda nu=nu: jnp.asarray(stacked_u(nu)),
             )
+            U[nu] = var.value.astype(x.dtype)
+            # per-irrep params, reference shapes/init; concat along k
+            ws = []
+            for ir in irs_out:
+                u = u_matrix_real(coupling, ir, nu)
+                k_i = u.shape[-1]
+                if self.element_dependent:
+                    shape = (self.num_elements, k_i, num_features)
+                else:
+                    shape = (k_i, num_features)
+                ws.append(self.param(
+                    f"contraction_{ir}_w{nu}",
+                    nn.initializers.normal(stddev=1.0 / k_i), shape,
+                ))
+            W[nu] = jnp.concatenate(ws, axis=-2)
+
+        nu = self.correlation
+        if self.element_dependent:
+            out = jnp.einsum("...ik,ekc,bci,be->bc...", U[nu], W[nu], x, y)
+            for nu in range(self.correlation - 1, 0, -1):
+                c = jnp.einsum("...k,ekc,be->bc...", U[nu], W[nu], y) + out
+                out = jnp.einsum("bc...i,bci->bc...", c, x)
+        else:
+            out = jnp.einsum("...ik,kc,bci->bc...", U[nu], W[nu], x)
+            for nu in range(self.correlation - 1, 0, -1):
+                c = jnp.einsum("...k,kc->c...", U[nu], W[nu]) + out
+                out = jnp.einsum("bc...i,bci->bc...", c, x)
+        # out: [n, c, D] in irreps_out block order -> [n, sum c*d_out]
+        outs, o = [], 0
+        for ir in irs_out:
+            blk = out[..., o : o + ir.dim]
+            outs.append(blk.reshape(blk.shape[0], -1))
+            o += ir.dim
         return jnp.concatenate(outs, axis=-1)

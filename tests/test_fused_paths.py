@@ -1,0 +1,111 @@
+"""Fused/combined compute paths must match their per-path reference forms.
+
+The TPU-first kernels collapse per-CG-path einsums into single combined
+contractions (kernel-count is the bottleneck at our graph sizes — see
+nn/tensor_product.py, nn/symmetric_contraction.py, nn/equivariant.py).
+These tests pin the combined forms to the straightforward per-path math.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geometric_message_passing_tpu.irreps import Irreps
+from geometric_message_passing_tpu.nn.equivariant import (
+    IrrepsLinear, merge_blocks, split_blocks,
+)
+from geometric_message_passing_tpu.nn.symmetric_contraction import (
+    Contraction, SymmetricContraction,
+)
+from geometric_message_passing_tpu.nn.tensor_product import (
+    EdgeTensorProduct, EdgeTensorProductUVU,
+)
+
+CASES = [
+    ("8x0e", "1x0e+1x1o+1x2e+1x3o", "8x0e+8x1o+8x2e+8x3o"),
+    ("8x0e+8x1o+8x2e+8x3o", "1x0e+1x1o+1x2e+1x3o", "8x0e+8x1o+8x2e+8x3o"),
+    ("4x0e+4x0o+4x1e+4x1o+4x2e", "1x0e+1x1o+1x2e", "4x0e+4x0o+4x1o+4x2e"),
+]
+
+
+@pytest.mark.parametrize("in_ir,sh_ir,out_ir", CASES)
+def test_fctp_combined_matches_per_path(in_ir, sh_ir, out_ir):
+    rng = np.random.default_rng(0)
+    tp = EdgeTensorProduct(Irreps(in_ir), Irreps(sh_ir), Irreps(out_ir))
+    assert tp._uniform_mul is not None
+    E = 7
+    x = rng.standard_normal((E, Irreps(in_ir).dim)).astype(np.float32)
+    sh = rng.standard_normal((E, Irreps(sh_ir).dim)).astype(np.float32)
+    w = rng.standard_normal((E, tp.weight_numel)).astype(np.float32)
+    np.testing.assert_allclose(
+        tp._apply_combined(x, sh, w), tp._apply_per_path(x, sh, w),
+        atol=2e-5,
+    )
+
+
+@pytest.mark.parametrize("in_ir,sh_ir,out_ir", CASES)
+def test_uvu_combined_matches_per_path(in_ir, sh_ir, out_ir):
+    rng = np.random.default_rng(1)
+    tp = EdgeTensorProductUVU(Irreps(in_ir), Irreps(sh_ir), Irreps(out_ir))
+    assert tp._uniform_mul is not None
+    E = 7
+    x = rng.standard_normal((E, Irreps(in_ir).dim)).astype(np.float32)
+    sh = rng.standard_normal((E, Irreps(sh_ir).dim)).astype(np.float32)
+    w = rng.standard_normal((E, tp.weight_numel)).astype(np.float32)
+    np.testing.assert_allclose(
+        tp._apply_combined(x, sh, w), tp._apply_per_path(x, sh, w),
+        atol=2e-5,
+    )
+
+
+@pytest.mark.parametrize("elem_dep", [False, True])
+def test_symmetric_contraction_fused_matches_per_irrep(elem_dep):
+    rng = np.random.default_rng(2)
+    irreps = Irreps("8x0e+8x1o+8x2e+8x3o")
+    coupling = Irreps([(1, ir) for _, ir in irreps])
+    n, c = 5, 8
+    d = sum(ir.dim for _, ir in coupling)
+    x = rng.standard_normal((n, c, d)).astype(np.float32)
+    y = num_el = None
+    if elem_dep:
+        num_el = 3
+        y = np.eye(3, dtype=np.float32)[rng.integers(0, 3, n)]
+    sc = SymmetricContraction(
+        irreps_in=irreps, irreps_out=irreps, correlation=3,
+        element_dependent=elem_dep, num_elements=num_el,
+    )
+    vars_ = sc.init(jax.random.PRNGKey(1), x, y)
+    fused = sc.apply(vars_, x, y)
+    outs = []
+    for _, ir in irreps:
+        con = Contraction(
+            irreps_in=coupling, ir_out=ir, correlation=3, num_features=c,
+            element_dependent=elem_dep, num_elements=num_el,
+        )
+        cw = {f"w{nu}": vars_["params"][f"contraction_{ir}_w{nu}"]
+              for nu in (1, 2, 3)}
+        cv = con.init(jax.random.PRNGKey(0), x, y)
+        outs.append(con.apply({"params": cw, "u_tables": cv["u_tables"]}, x, y))
+    ref = jnp.concatenate(outs, axis=-1)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-5 * max(scale, 1.0))
+
+
+def test_irreps_linear_fast_path_matches_per_irrep():
+    rng = np.random.default_rng(3)
+    irr = Irreps("8x0e+8x1o+8x2e+8x3o")
+    lin = IrrepsLinear(irreps_in=irr, irreps_out=irr)
+    x = rng.standard_normal((5, irr.dim)).astype(np.float32)
+    v = lin.init(jax.random.PRNGKey(0), x)
+    fast = lin.apply(v, x)
+    xs = split_blocks(jnp.asarray(x), irr)
+    outs = []
+    for k, (mul, _) in enumerate(irr):
+        W = v["params"][f"w{k}_{k}"]
+        outs.append(jnp.einsum("...ud,uw->...wd", xs[k], W) / math.sqrt(mul))
+    np.testing.assert_allclose(np.asarray(fast),
+                               np.asarray(merge_blocks(outs)), atol=2e-5)
