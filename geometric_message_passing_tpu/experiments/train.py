@@ -487,6 +487,8 @@ def fit_stepwise(
     cosine: bool = False, plateau: Optional[PlateauConfig] = None,
     mask_cols: Optional[int] = None, seed: int = 0,
     checkpoint_dir: Optional[str] = None, checkpoint_every: int = 0,
+    nan_recovery: bool = False, max_recoveries: int = 3,
+    inject_fault=None,
 ) -> FitResult:
     """Host epoch loop over the two stepwise programs; semantics identical to
     the monolithic fit (same shuffles, plateau rule, best-val test).
@@ -496,7 +498,15 @@ def fit_stepwise(
     the full state (variables, optimizer, scheduler, best-val protocol) is
     saved via orbax; a restarted run with the same checkpoint_dir resumes
     from the latest checkpoint and reproduces the uninterrupted run exactly
-    (shuffle/dropout streams are derived per-epoch, not threaded)."""
+    (shuffle/dropout streams are derived per-epoch, not threaded).
+
+    ``nan_recovery`` adds in-run FAILURE DETECTION: if an epoch produces a
+    non-finite training loss (TPU soft error, numeric blow-up), the run
+    rolls back to the latest checkpoint instead of silently training on
+    garbage, up to ``max_recoveries`` times (then raises).  Requires
+    checkpointing to be enabled.  ``inject_fault`` is the matching
+    fault-injection hook — ``(epoch, variables) -> variables`` applied
+    before each epoch; tests use it to poison params and assert recovery."""
     from ..graph import build_slot_data, eval_slot_indices
 
     def slot_of(loader):
@@ -563,8 +573,15 @@ def fit_stepwise(
             start_epoch = int(mgr.latest_step) + 1
             per_epoch = [tuple(r) for r in
                          np.asarray(restored["per_epoch"])[:start_epoch]]
+    if nan_recovery and (mgr is None or not checkpoint_every):
+        raise ValueError("nan_recovery requires checkpointing "
+                         "(checkpoint_dir + checkpoint_every)")
     t0 = time.time()
-    for epoch in range(start_epoch, n_epochs):
+    recoveries = 0
+    epoch = start_epoch
+    while epoch < n_epochs:
+        if inject_fault is not None:
+            variables = inject_fault(epoch, variables)
         if cosine:
             lr_now = float(cosine_lr(lr, 1e-6, n_epochs, epoch))
         variables, opt_state, mean_loss = epoch_prog(
@@ -572,6 +589,30 @@ def fit_stepwise(
             shuffle_key, jax.random.fold_in(rng0, epoch),
             jnp.asarray(lr_now, jnp.float32),
         )
+        if nan_recovery and not np.isfinite(float(mean_loss)):
+            # failure detected: roll back to the latest checkpoint
+            recoveries += 1
+            if mgr.latest_step is None or recoveries > max_recoveries:
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch}; "
+                    f"recoveries={recoveries - 1}, no rollback possible"
+                )
+            from flax import serialization
+
+            restored = mgr.restore()["variables"]
+            variables = {**variables,
+                         **jax.tree.map(jnp.asarray, restored["variables"])}
+            opt_state = serialization.from_state_dict(
+                opt_state, restored["opt_state"])
+            h = restored["host"]
+            lr_now, sched_best = float(h["lr_now"]), float(h["sched_best"])
+            sched_bad = int(h["sched_bad"])
+            best_val, test_metric = (float(h["best_val"]),
+                                     float(h["test_metric"]))
+            epoch = int(mgr.latest_step) + 1
+            per_epoch = [tuple(r) for r in
+                         np.asarray(restored["per_epoch"])[:epoch]]
+            continue
         val_metric = float(eval_prog(variables, slot_val, val_plan, num_val))
         if better(val_metric, best_val):
             best_val = val_metric
@@ -610,6 +651,7 @@ def fit_stepwise(
                 ),
                 "per_epoch": pe,
             })
+        epoch += 1
     if mgr is not None:
         mgr.close()
     jax.block_until_ready(variables)

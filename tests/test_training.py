@@ -238,6 +238,58 @@ def test_stepwise_checkpoint_resume(tmp_path):
     assert abs(full.test - resumed.test) < 1e-5
 
 
+def test_stepwise_nan_recovery(tmp_path):
+    """Failure detection: a fault injected mid-run (params poisoned to NaN)
+    is detected from the non-finite epoch loss, rolled back to the latest
+    checkpoint, and the run completes with the same result as an
+    un-faulted run."""
+    import jax
+    import jax.numpy as jnp
+
+    from geometric_message_passing_tpu.experiments.train import (
+        fit_stepwise, init_variables, tiny_init_batch)
+    from geometric_message_passing_tpu.graph import GraphLoader, pad_sizes
+
+    data = ds.create_star_graphs(num=40, fold=[3, 4], dim=3, target="max",
+                                 seed=9)
+    tr, va, te = random_split(data, [0.5, 0.2, 0.3], seed=0)
+    pad = pad_sizes(data, 10)
+    kw = dict(batch_size=10, pad=pad)
+    tr_l = GraphLoader(tr, shuffle=True, seed=0, **kw)
+    va_l, te_l = GraphLoader(va, **kw), GraphLoader(te, **kw)
+    model = EGNNModel(num_layers=1, emb_dim=16, in_dim=1, out_dim=1)
+    variables = init_variables(model, seed_everything(0), tiny_init_batch(tr_l))
+    args = dict(n_epochs=6, lr=5e-4, task="regression", cosine=True, seed=1)
+
+    clean = fit_stepwise(model, variables, tr_l, va_l, te_l, **args,
+                         checkpoint_dir=str(tmp_path / "a"),
+                         checkpoint_every=1)
+
+    fired = []
+
+    def poison(epoch, vs):
+        if epoch == 4 and not fired:
+            fired.append(epoch)
+            return jax.tree.map(lambda x: jnp.full_like(x, jnp.nan), vs)
+        return vs
+
+    faulted = fit_stepwise(model, variables, tr_l, va_l, te_l, **args,
+                           checkpoint_dir=str(tmp_path / "b"),
+                           checkpoint_every=1, nan_recovery=True,
+                           inject_fault=poison)
+    assert fired == [4]
+    assert abs(clean.best_val - faulted.best_val) < 1e-5
+    assert abs(clean.test - faulted.test) < 1e-5
+
+    # unrecoverable: fault fires every epoch -> raises after max_recoveries
+    with pytest.raises(FloatingPointError):
+        fit_stepwise(model, variables, tr_l, va_l, te_l, **args,
+                     checkpoint_dir=str(tmp_path / "c"), checkpoint_every=1,
+                     nan_recovery=True, max_recoveries=2,
+                     inject_fault=lambda e, vs: jax.tree.map(
+                         lambda x: jnp.full_like(x, jnp.nan), vs))
+
+
 @pytest.mark.parametrize("name", ["egnn", "schnet", "gvp", "tfn", "mace",
                                   "dimenet", "spherenet"])
 def test_every_model_trains_through_engine(name):
