@@ -21,7 +21,7 @@ from ..graph import GraphBatch
 from ..ops.dimenet_basis import AngleEmb, DistEmb
 from ..ops.scatter import segment_sum
 from .pooling import POOL
-from ..ops.norms import safe_norm
+from ..ops.norms import safe_arctan2, safe_norm
 
 
 def glorot_orthogonal(scale: float = 2.0):
@@ -157,7 +157,7 @@ class DimeNetPPModel(nn.Module):
         pos_ki = pos[tri.idx_k] - pos_i
         a = jnp.sum(pos_ji * pos_ki, axis=-1)
         b = safe_norm(jnp.cross(pos_ji, pos_ki), axis=-1)
-        angle = jnp.arctan2(b, a)
+        angle = safe_arctan2(b, a)
 
         rbf = DistEmb(self.num_radial, self.cutoff, self.envelope_exponent,
                       zero_outside=True, name="rbf")(dist)

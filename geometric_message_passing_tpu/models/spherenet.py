@@ -19,7 +19,7 @@ from ..ops.dimenet_basis import AngleEmb, DistEmb, TorsionEmb
 from ..ops.scatter import segment_min, segment_sum
 from .dimenet import ResidualLayer, glorot_orthogonal, swish
 from .pooling import POOL
-from ..ops.norms import safe_norm
+from ..ops.norms import safe_arctan2, safe_norm
 
 
 class SphereNetInit(nn.Module):
@@ -162,7 +162,7 @@ def spherenet_geometry(batch: GraphBatch):
     pos_jk = pos[tri.idx_k] - pos[tri.idx_j]
     a = jnp.sum(pos_ji * pos_jk, axis=-1)
     b = safe_norm(jnp.cross(pos_ji, pos_jk), axis=-1)
-    angle = jnp.arctan2(b, a)
+    angle = safe_arctan2(b, a)
 
     # torsion: dihedral between plane(ji, jk_t) and plane(ji, jk_n),
     # folded to (0, 2pi], min over candidates k_n per triplet.
@@ -177,7 +177,7 @@ def spherenet_geometry(batch: GraphBatch):
     b_t = jnp.sum(jnp.cross(plane1, plane2) * pos_ji_q, axis=-1) / jnp.maximum(
         dist_ji, 1e-9
     )
-    torsion1 = jnp.arctan2(b_t, a_t)
+    torsion1 = safe_arctan2(b_t, a_t)
     torsion1 = jnp.where(torsion1 <= 0, torsion1 + 2 * math.pi, torsion1)
     # The k_n == k candidate is exactly coplanar (torsion 2*pi); XLA's FMA
     # reassociation leaves b_t = +/-1e-9 which the 0/2pi fold amplifies to

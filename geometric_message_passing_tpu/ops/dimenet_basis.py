@@ -136,14 +136,31 @@ def _horner(coeffs, x):
     return acc
 
 
-def spherical_bessel_jl(l: int, x, eps: float = 1e-6):
-    """j_l evaluated via the closed form (safe at x -> 0 by clamping; callers
-    mask padded entries)."""
+def spherical_bessel_jl(l: int, x, small: float = 0.5):
+    """j_l via the closed form for x >= ``small``, and the ascending series
+    x^l/(2l+1)!! (1 - u/(2(2l+3)) + u^2/(8(2l+3)(2l+5))) below it.
+
+    The closed form's sin/cos cancellation divided by x^(l+1) explodes as
+    x -> 0 (pad edges have dist == 0: at l=6 the old eps-clamp produced
+    inf, which poisons gradients of every shared weight even though the
+    loss masks pad entries).  The series is accurate to ~3e-4 relative at
+    x=0.5 — tighter than the closed form's own f32 cancellation error
+    there — and exact at 0.  Double-where keeps both branches' gradients
+    finite.  Real (unpadded) evaluations satisfy x >= pi*d_min/c > 0.5, so
+    reference numerics (PyG sympy codegen, same closed form) are preserved
+    where the reference is defined."""
     s, c = _sph_bessel_poly(l)
-    x = jnp.maximum(x, eps)
-    u = x * x
-    num = _horner(s, u) * jnp.sin(x) + x * _horner(c, u) * jnp.cos(x)
-    return num / x ** (l + 1)
+    small_mask = x < small
+    xs = jnp.where(small_mask, 1.0, x)
+    u = xs * xs
+    num = _horner(s, u) * jnp.sin(xs) + xs * _horner(c, u) * jnp.cos(xs)
+    closed = num / xs ** (l + 1)
+    dfact = float(np.prod(np.arange(2 * l + 1, 0, -2)))   # (2l+1)!!
+    v = x * x
+    series = (x ** l / dfact) * (
+        1.0 - v / (2 * (2 * l + 3)) + v * v / (8 * (2 * l + 3) * (2 * l + 5))
+    )
+    return jnp.where(small_mask, series, closed)
 
 
 # ---------------------------------------------------------------------------

@@ -26,3 +26,16 @@ def safe_normalize(x, axis=-1, eps: float = 1e-24):
     positive = sq > eps
     inv = jnp.where(positive, 1.0 / jnp.sqrt(jnp.where(positive, sq, 1.0)), 0.0)
     return x * inv
+
+
+def safe_arctan2(y, x, eps: float = 1e-12):
+    """arctan2 with finite gradients at (0, 0).
+
+    d(arctan2)/dx = -y/(x^2+y^2) and /dy = x/(x^2+y^2) are NaN at the
+    origin; pad triplets/quads hit it exactly (all positions collapse onto
+    the pad node).  Degenerate entries get x pinned to 1 before the call
+    (value arctan2(0,1)=0, gradients 0 and bounded); masking AFTER arctan2
+    does not fix the backward pass.
+    """
+    degen = (jnp.abs(x) < eps) & (jnp.abs(y) < eps)
+    return jnp.arctan2(y, jnp.where(degen, 1.0, x))

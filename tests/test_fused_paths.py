@@ -109,3 +109,38 @@ def test_irreps_linear_fast_path_matches_per_irrep():
         outs.append(jnp.einsum("...ud,uw->...wd", xs[k], W) / math.sqrt(mul))
     np.testing.assert_allclose(np.asarray(fast),
                                np.asarray(merge_blocks(outs)), atol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["dimenet", "spherenet"])
+def test_triplet_model_grads_finite_under_heavy_padding(name):
+    """Pad edges have dist == 0 and pad triplets degenerate angles; the
+    spherical-Bessel closed form and arctan2 both have singular backward
+    passes there.  Loss masking does NOT protect shared weights — grads
+    must be finite by construction (series branch + safe_arctan2)."""
+    from geometric_message_passing_tpu import datasets as ds
+    from geometric_message_passing_tpu.experiments.train import (
+        init_variables, l1_sum_loss, seed_everything, tiny_init_batch)
+    from geometric_message_passing_tpu.graph import (
+        GraphLoader, batch_graphs, pad_sizes)
+    from geometric_message_passing_tpu.models import (
+        DimeNetPPModel, SphereNetModel)
+    from geometric_message_passing_tpu.triplets import attach_triplets
+
+    data = ds.create_star_graphs(num=4, fold=[7], dim=3, target="max", seed=0)
+    # heavy padding: bucket sized for 40 graphs, only 4 real
+    pad = pad_sizes(data * 10, 40)
+    quads = name == "spherenet"
+    model = (DimeNetPPModel(out_dim=1, num_layers=1, pool="first")
+             if name == "dimenet"
+             else SphereNetModel(out_dim=1, num_layers=1, pool="first"))
+    loader = GraphLoader(data, batch_size=40, pad=pad, with_triplets=True,
+                         with_quads=quads)
+    variables = init_variables(model, seed_everything(0),
+                               tiny_init_batch(loader))
+    params = variables["params"]
+    uv = {k: v for k, v in variables.items() if k != "params"}
+    gb = attach_triplets(batch_graphs(data, *pad), with_quads=quads)
+    g = jax.grad(lambda p: l1_sum_loss(
+        model.apply({"params": p, **uv}, gb), gb))(params)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(g)[0]:
+        assert bool(jnp.isfinite(leaf).all()), path
