@@ -31,7 +31,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _is_cpu() -> bool:
-    return jax.default_backend() == "cpu"
+    """True when the computation will lower for the CPU backend — either
+    because CPU is the default platform (tests) or because the caller is
+    inside ``jax.default_device(cpu_dev)`` (host-side parameter init,
+    experiments/train.py::init_variables).  Mosaic kernels need
+    interpret=True there."""
+    if jax.default_backend() == "cpu":
+        return True
+    dd = jax.config.jax_default_device
+    return getattr(dd, "platform", None) == "cpu"
 
 
 # ---------------------------------------------------------------------------
@@ -487,14 +495,20 @@ def make_egnn_message_fused(d: int, interpret: bool = False,
     back to differentiating the XLA twin (used as the grad correctness
     reference)."""
 
-    @jax.custom_vjp
-    def fused(send, recv, emask, h, pos, packed_w):
+    def _fwd_impl(send, recv, emask, h, pos, packed_w):
+        # CPU (tests / host-side init): the XLA twin is value-identical and
+        # orders of magnitude faster than Mosaic interpret mode.
+        if _is_cpu() and not interpret:
+            return egnn_message_xla(send, recv, emask, h, pos, packed_w, d)
         return _egnn_pallas_raw(send, recv, emask, h, pos, packed_w,
                                 interpret=interpret)
 
+    @jax.custom_vjp
+    def fused(send, recv, emask, h, pos, packed_w):
+        return _fwd_impl(send, recv, emask, h, pos, packed_w)
+
     def fwd(send, recv, emask, h, pos, packed_w):
-        out = _egnn_pallas_raw(send, recv, emask, h, pos, packed_w,
-                               interpret=interpret)
+        out = _fwd_impl(send, recv, emask, h, pos, packed_w)
         return out, (send, recv, emask, h, pos, packed_w)
 
     def bwd(res, g):
