@@ -26,6 +26,14 @@ CONFIGS = [
     ("tfn",     "paired_star",  0.0712, ["--pool", "mean", "--n_layers", "4", "--n_epochs", "200", "--n_pairs", "2"]),
     ("mace",    "paired_star2", 0.1013, ["--pool", "mean", "--n_layers", "2", "--n_epochs", "200", "--n_pairs", "2"]),
     ("egnn",    "paired_star2", 0.3008, ["--pool", "first", "--n_layers", "4", "--n_epochs", "600", "--n_pairs", "2"]),
+    # the two rows below anchor to the reference's UNLABELED (pre-dataset-
+    # flag) ledger entries — star dataset, model-default pooling, single
+    # reference runs.  fold/n_data/epochs mined from exp_history.json.
+    ("spherenet", "star", 0.0735, ["--n_layers", "2", "--n_epochs", "200",
+                                   "--fold", "5", "6", "7"]),
+    ("schnet",    "star", 0.7351, ["--n_layers", "4", "--n_epochs", "1200",
+                                   "--fold", "3", "4", "5", "6", "7",
+                                   "--n_data", "1400"]),
 ]
 
 BASE = ["--lr", "5e-4", "--n_data", "1500", "--fold", "7", "--max_ell", "3",
@@ -38,9 +46,11 @@ def main(only=None):
     for model, dataset, ref_mean, extra in CONFIGS:
         if only and model not in only and dataset not in only:
             continue
+        # extra AFTER BASE so per-config flags (fold, n_data) override the
+        # sweep-wide defaults (argparse last-wins)
         cmd = [sys.executable, "-m",
                "geometric_message_passing_tpu.experiments.cli",
-               "--model", model, "--dataset", dataset] + extra + BASE
+               "--model", model, "--dataset", dataset] + BASE + extra
         t0 = time.time()
         print(f"== {model}/{dataset} (ref {ref_mean}) ...", flush=True)
         try:
