@@ -276,7 +276,12 @@ class EdgeTensorProductUVU:
 class FullyConnectedTensorProduct(nn.Module):
     """Shared-internal-weight FCTP (e3nn o3.FullyConnectedTensorProduct with
     internal_weights=True) — the skip_tp of the interaction blocks
-    (blocks.py:241-243). Typically in2 = one-hot element scalars."""
+    (blocks.py:241-243). Typically in2 = one-hot element scalars.
+
+    When in2 is all scalars (the model zoo's only use: one-hot elements),
+    the CG collapses to identity on the in2 side and the whole TP runs as
+    the combined-CG einsum of ``EdgeTensorProduct`` with x2 playing the
+    per-item weight role; otherwise the per-path form below applies."""
 
     irreps_in1: Irreps
     irreps_in2: Irreps
@@ -288,7 +293,49 @@ class FullyConnectedTensorProduct(nn.Module):
 
         in1, in2, out = (Irreps(self.irreps_in1), Irreps(self.irreps_in2),
                          Irreps(self.irreps_out))
-        paths = tp_paths(in1, in2, out)
+        paths = sorted(tp_paths(in1, in2, out), key=lambda p: p.i_out)
+        muls1 = {mul for mul, _ in in1}
+        scalar_in2 = all(ir.l == 0 and ir.p == 1 for _, ir in in2)
+        if scalar_in2 and len(muls1) == 1 and len(in2) == 1:
+            return self._scalar_in2_combined(x1, x2, in1, in2, out, paths)
+        return self._per_path(x1, x2, in1, in2, out, paths)
+
+    def _scalar_in2_combined(self, x1, x2, in1, in2, out, paths):
+        """x2: [N, v] scalars. out_i = sum_p pw C_p (x1_p ⊗ 1) W_p[u,v,w] x2_v
+        — stage 1 is the combined-CG einsum with sh := ones (C absorbs the
+        scalar), stage 2 one dot per output irrep with W folded over v."""
+        u = in1[0][0]
+        v = in2[0][0]
+        C = _combined_cg(paths, in1, Irreps("1x0e"))      # [L, 1, M]
+        xr = _to_channel_layout(x1, in1)                  # [N, u, L]
+        tmp = jnp.einsum("...ua,am->...um", xr,
+                         jnp.asarray(C[:, 0, :], dtype=x1.dtype))
+        outs = [None] * len(out)
+        mm = 0
+        offs = []
+        for p in paths:
+            offs.append(mm)
+            mm += p.ir_out.dim
+        for i_out, (mul_o, ir_o) in enumerate(out):
+            pids = [k for k, p in enumerate(paths) if p.i_out == i_out]
+            if not pids:
+                outs[i_out] = jnp.zeros(
+                    x1.shape[:-1] + (mul_o, ir_o.dim), x1.dtype)
+                continue
+            T = jnp.concatenate(
+                [tmp[..., offs[k] : offs[k] + ir_o.dim].reshape(
+                    tmp.shape[:-1] + (1, ir_o.dim))
+                 for k in pids], axis=-2)                 # [N, u, P, d3]
+            W = jnp.stack(
+                [self.param(f"w{k}", nn.initializers.normal(stddev=1.0),
+                            (paths[k].mul_in1, paths[k].mul_in2,
+                             paths[k].mul_out))
+                 for k in pids])                          # [P, u, v, w]
+            Wx = jnp.einsum("...v,puvw->...puw", x2, W)   # [N, P, u, w]
+            outs[i_out] = jnp.einsum("...upm,...puw->...wm", T, Wx)
+        return merge_blocks(outs)
+
+    def _per_path(self, x1, x2, in1, in2, out, paths):
         xs1 = split_blocks(x1, in1)
         xs2 = split_blocks(x2, in2)
         outs = [None] * len(out)
