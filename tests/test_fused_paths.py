@@ -144,3 +144,35 @@ def test_triplet_model_grads_finite_under_heavy_padding(name):
         model.apply({"params": p, **uv}, gb), gb))(params)
     for path, leaf in jax.tree_util.tree_flatten_with_path(g)[0]:
         assert bool(jnp.isfinite(leaf).all()), path
+
+
+def test_fctp_scalar_in2_combined_matches_per_path():
+    """Shared-weight FCTP with scalar in2 (the interaction skip-TP shape)."""
+    from geometric_message_passing_tpu.irreps import tp_paths, wigner_3j
+    from geometric_message_passing_tpu.nn.tensor_product import (
+        FullyConnectedTensorProduct,
+    )
+
+    rng = np.random.default_rng(4)
+    in1, in2, out = (Irreps("8x0e+8x1o+8x2e"), Irreps("4x0e"),
+                     Irreps("8x0e+8x1o+8x2e"))
+    m = FullyConnectedTensorProduct(irreps_in1=in1, irreps_in2=in2,
+                                    irreps_out=out)
+    x1 = rng.standard_normal((6, in1.dim)).astype(np.float32)
+    x2 = rng.standard_normal((6, in2.dim)).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(0), x1, x2)
+    fast = m.apply(v, x1, x2)
+
+    paths = sorted(tp_paths(in1, in2, out), key=lambda p: p.i_out)
+    xs1 = split_blocks(jnp.asarray(x1), in1)
+    xs2 = split_blocks(jnp.asarray(x2), in2)
+    outs = [None] * len(out)
+    for k, p in enumerate(paths):
+        C = jnp.asarray(wigner_3j(p.ir_in1.l, p.ir_in2.l, p.ir_out.l),
+                        np.float32)
+        y = p.path_weight * jnp.einsum(
+            "...ua,...vb,abm,uvw->...wm", xs1[p.i_in1], xs2[p.i_in2], C,
+            v["params"][f"w{k}"])
+        outs[p.i_out] = y if outs[p.i_out] is None else outs[p.i_out] + y
+    np.testing.assert_allclose(np.asarray(fast),
+                               np.asarray(merge_blocks(outs)), atol=2e-5)
