@@ -40,6 +40,12 @@ class TensorProductConvLayer(nn.Module):
     gate: bool = False
     tp_axis: Optional[str] = None
     tp_size: int = 1
+    # Per-edge TP weights are the memory giant of the layer ([E, sum_p u*w]
+    # ~ 94k floats/edge at 64 channels, max_ell=3 — 1.6GB fwd at E~4k).
+    # The TPU MXU multiplies f32 operands in bf16 passes anyway, so storing
+    # them bf16 halves the HBM traffic of the hot tensor with no change to
+    # the effective matmul precision; gradients stay f32.
+    weights_bf16: bool = True
 
     def setup(self):
         out_irreps = Irreps(self.out_irreps)
@@ -86,6 +92,10 @@ class TensorProductConvLayer(nn.Module):
         """node_feats: [N, in_irreps.dim]. Returns [N, out_irreps.dim]."""
         num_nodes = node_feats.shape[0]
         w = self.fc(edge_feats)
+        if self.weights_bf16:
+            import jax.numpy as jnp
+
+            w = w.astype(jnp.bfloat16)
         msg = self.tp.apply(node_feats[receivers], edge_sh, w)
         if self.aggr in ("sum", "add"):
             out = segment_sum(msg, senders, num_nodes, mask=edge_mask)
