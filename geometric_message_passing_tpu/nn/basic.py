@@ -61,13 +61,19 @@ class MLP(nn.Module):
     norm: Optional[str] = "layer"
     act_final: bool = True
     norm_final: bool = True
+    # computation dtype of the LAST Dense (params stay f32 masters). Used by
+    # the edge-TP conv to emit its giant per-edge weight tensor directly in
+    # bf16 — no f32 boundary, so the backward pass over [E, ~94k] stays
+    # bf16 end to end.
+    final_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = ACT[self.activation]
         n = len(self.hidden)
         for i, width in enumerate(self.hidden):
-            x = nn.Dense(width)(x)
+            dt = self.final_dtype if i == n - 1 else None
+            x = nn.Dense(width, dtype=dt)(x)
             last = i == n - 1
             if self.norm and (not last or self.norm_final):
                 if self.norm == "layer":

@@ -82,6 +82,7 @@ class TensorProductConvLayer(nn.Module):
             activation="relu",
             norm=None,
             act_final=False,
+            final_dtype="bfloat16" if self.weights_bf16 else None,
         )
         self._bn = (
             EquivariantBatchNorm(out_irreps) if self.batch_norm else None
@@ -91,11 +92,7 @@ class TensorProductConvLayer(nn.Module):
                  edge_mask=None, node_mask=None, train: bool = False):
         """node_feats: [N, in_irreps.dim]. Returns [N, out_irreps.dim]."""
         num_nodes = node_feats.shape[0]
-        w = self.fc(edge_feats)
-        if self.weights_bf16:
-            import jax.numpy as jnp
-
-            w = w.astype(jnp.bfloat16)
+        w = self.fc(edge_feats)   # bf16 when weights_bf16 (MLP final_dtype)
         msg = self.tp.apply(node_feats[receivers], edge_sh, w)
         if self.aggr in ("sum", "add"):
             out = segment_sum(msg, senders, num_nodes, mask=edge_mask)
