@@ -98,6 +98,14 @@ class SymmetricContraction(nn.Module):
     correlation: int
     element_dependent: bool = False
     num_elements: Optional[int] = None
+    # computation dtype of the contraction chain. The descending-nu chain
+    # materializes [n, c, D, d, d] — the MACE layer's HBM giant — and
+    # "bfloat16" halves that traffic (measured 1.25x faster MACE training,
+    # 71s -> 55s/run at the star headline config). But the rounding between
+    # chain stages costs training quality: star MAE degrades 0.0767 -> 0.0848
+    # (reference 0.0766), so full f32 stays the default and bf16 is an
+    # explicit speed/accuracy knob.
+    chain_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, y=None):
@@ -150,6 +158,14 @@ class SymmetricContraction(nn.Module):
                 ))
             W[nu] = jnp.concatenate(ws, axis=-2)
 
+        in_dtype = x.dtype
+        if self.chain_dtype is not None:
+            cd = jnp.dtype(self.chain_dtype)
+            x = x.astype(cd)
+            U = {k: v.astype(cd) for k, v in U.items()}
+            W = {k: v.astype(cd) for k, v in W.items()}
+            if y is not None:
+                y = y.astype(cd)
         nu = self.correlation
         if self.element_dependent:
             out = jnp.einsum("...ik,ekc,bci,be->bc...", U[nu], W[nu], x, y)
@@ -161,6 +177,7 @@ class SymmetricContraction(nn.Module):
             for nu in range(self.correlation - 1, 0, -1):
                 c = jnp.einsum("...k,kc->c...", U[nu], W[nu]) + out
                 out = jnp.einsum("bc...i,bci->bc...", c, x)
+        out = out.astype(in_dtype)
         # out: [n, c, D] in irreps_out block order -> [n, sum c*d_out]
         outs, o = [], 0
         for ir in irs_out:

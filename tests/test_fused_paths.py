@@ -73,9 +73,10 @@ def test_symmetric_contraction_fused_matches_per_irrep(elem_dep):
     if elem_dep:
         num_el = 3
         y = np.eye(3, dtype=np.float32)[rng.integers(0, 3, n)]
+    # chain_dtype=None: structural equivalence is exact only in full f32
     sc = SymmetricContraction(
         irreps_in=irreps, irreps_out=irreps, correlation=3,
-        element_dependent=elem_dep, num_elements=num_el,
+        element_dependent=elem_dep, num_elements=num_el, chain_dtype=None,
     )
     vars_ = sc.init(jax.random.PRNGKey(1), x, y)
     fused = sc.apply(vars_, x, y)
@@ -93,6 +94,27 @@ def test_symmetric_contraction_fused_matches_per_irrep(elem_dep):
     scale = float(jnp.abs(ref).max())
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                atol=2e-5 * max(scale, 1.0))
+
+
+def test_symmetric_contraction_bf16_chain_close_to_f32():
+    """Opt-in chain_dtype=bfloat16 must stay within bf16 rounding of the
+    f32 chain (same params), and return f32."""
+    rng = np.random.default_rng(4)
+    irreps = Irreps("8x0e+8x1o+8x2e+8x3o")
+    n, c = 5, 8
+    d = sum(ir.dim for _, ir in Irreps([(1, ir) for _, ir in irreps]))
+    x = rng.standard_normal((n, c, d)).astype(np.float32)
+    kw = dict(irreps_in=irreps, irreps_out=irreps, correlation=3)
+    sc16 = SymmetricContraction(**kw, chain_dtype="bfloat16")
+    sc32 = SymmetricContraction(**kw, chain_dtype=None)
+    vars_ = sc32.init(jax.random.PRNGKey(1), x)
+    out16 = sc16.apply(vars_, x)
+    out32 = sc32.apply(vars_, x)
+    assert out16.dtype == jnp.float32
+    scale = float(jnp.abs(out32).max())
+    # bf16 has ~8 mantissa bits (eps ~ 7.8e-3); the 3-long chain compounds
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               atol=3e-2 * max(scale, 1.0))
 
 
 def test_irreps_linear_fast_path_matches_per_irrep():
