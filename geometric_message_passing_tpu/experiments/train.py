@@ -293,13 +293,22 @@ def _build_run(model, n_epochs: int, task: str, cosine: bool,
 def _build_run_resident(model, n_epochs: int, task: str, cosine: bool,
                         plateau: Optional[PlateauConfig],
                         mask_cols: Optional[int], steps: int,
-                        batch_size: int):
+                        batch_size: int, chunk: int):
     """Device-resident variant of ``_build_run``: the dataset lives in HBM in
     slot layout (graph.SlotData); every epoch's shuffle is a device-side
     ``jax.random.permutation`` and batches are assembled on device.  The
     host transfers the dataset once per experiment (~1MB) instead of
     staging/stacking/transferring every shuffled epoch (~50MB + ~10s host
-    time per run at the bench config)."""
+    time per run at the bench config).
+
+    The program runs ``chunk`` epochs per device call, starting at the traced
+    global epoch index ``epoch0``, with the full experiment state (params,
+    opt state, rng, scheduler, best-val protocol) as explicit carry — so a
+    host loop over chunks reproduces the single-call monolith EXACTLY (same
+    shuffle/dropout streams, same schedules).  Chunking exists because the
+    TPU tunnel kills single executions longer than ~1-2 min (observed: TFN
+    4Lx200ep as ONE call faults the device; the same program in 20-epoch
+    slices runs fine)."""
     from ..graph import assemble_batch
 
     apply_train, apply_eval = _build_apply(model)
@@ -350,11 +359,10 @@ def _build_run_resident(model, n_epochs: int, task: str, cosine: bool,
         return train_step
 
     @jax.jit
-    def run(variables, opt_state, slot_train, slot_val, slot_test,
-            val_plan, test_plan, num_val, num_test, rng0, lr):
+    def run(carry, slot_train, slot_val, slot_test,
+            val_plan, test_plan, num_val, num_test, shuffle_key, lr, epoch0):
         m = slot_train.num_graphs
         pad_len = steps * batch_size - m
-        rng0, shuffle_key = jax.random.split(rng0)
         train_step = train_step_of(slot_train)
 
         def epoch_body(carry, epoch_idx):
@@ -387,17 +395,10 @@ def _build_run_resident(model, n_epochs: int, task: str, cosine: bool,
                 (test_now, val_metric, jnp.mean(losses)),
             )
 
-        sched_state = plateau_init(lr)
-        carry = (
-            variables, opt_state, rng0, sched_state,
-            jnp.asarray(init_best, jnp.float32),
-            jnp.asarray(0.0, jnp.float32),
-        )
         carry, per_epoch = jax.lax.scan(
-            epoch_body, carry, jnp.arange(n_epochs)
+            epoch_body, carry, epoch0 + jnp.arange(chunk)
         )
-        variables, _, _, _, best_val, test_metric = carry
-        return variables, best_val, test_metric, per_epoch
+        return carry, per_epoch
 
     return run
 
@@ -475,10 +476,23 @@ def _build_stepwise_programs(model, n_epochs: int, task: str, cosine: bool,
     return epoch_prog, eval_prog
 
 
-# models whose whole-experiment monolith is too big for fast XLA compiles;
-# they use the host-looped stepwise engine instead
-STEPWISE_MODELS = ("MACEModel", "TFNModel", "DimeNetPPModel",
-                   "SphereNetModel", "GVPGNNModel")
+# models routed through the host-looped stepwise engine (one-epoch + eval
+# programs).  After the combined-CG/fused-contraction rewrite every model's
+# monolith compiles fine; heavyweights instead need epoch CHUNKING
+# (RESIDENT_CHUNK) because the tunnel faults single device executions past
+# ~1-2 min.  Empty by default — TPU trials (scripts/trial_resident.py) show
+# chunked-resident beats stepwise for every model (mace 66.5 vs 115.4 s,
+# tfn 151.5 vs 181.6, dimenet 48.4 vs 83.1, spherenet 32.8 vs 41.2,
+# gvp 43.6 vs 53.4, resident legs INCLUDING compile).  fit_stepwise remains
+# the engine for checkpoint/NaN-recovery runs (host control between epochs).
+STEPWISE_MODELS = ()
+
+# per-model epoch chunk for the resident engine: bounds the device time of a
+# single execution (measured: TFN 4L ~0.35 s/epoch, MACE 2L ~0.3 s/epoch at
+# the reference config — chunks keep each call ~20-30 s)
+RESIDENT_CHUNK = {"MACEModel": 100, "TFNModel": 50,
+                  "DimeNetPPModel": 200, "SphereNetModel": 100,
+                  "GVPGNNModel": 100}
 
 
 def fit_stepwise(
@@ -675,8 +689,15 @@ def fit_resident(
     plateau: Optional[PlateauConfig] = None,
     mask_cols: Optional[int] = None,
     seed: int = 0,
+    epoch_chunk: Optional[int] = None,
 ) -> FitResult:
-    """Whole-experiment program over a device-resident slot dataset."""
+    """Whole-experiment program over a device-resident slot dataset.
+
+    ``epoch_chunk`` bounds the device time of a single execution: the
+    experiment runs as ceil(n_epochs/chunk) calls of a chunk program with the
+    full state as carry — bitwise identical to the one-call monolith (the
+    TPU tunnel faults on single executions past ~1-2 min, so heavyweight
+    models need finite chunks)."""
     from ..graph import build_slot_data, eval_slot_indices
 
     def slot_of(loader):
@@ -696,34 +717,60 @@ def fit_resident(
     val_plan = jnp.asarray(eval_slot_indices(slot_val.num_graphs, b))
     test_plan = jnp.asarray(eval_slot_indices(slot_test.num_graphs, b))
 
-    key = (model, n_epochs, task, cosine, plateau, mask_cols, steps, b,
-           "resident", _tree_key(slot_train), _tree_key(slot_val),
-           _tree_key(slot_test))
-    run = _RUN_CACHE.get(key)
-    if run is None:
-        run = _build_run_resident(model, n_epochs, task, cosine, plateau,
-                                  mask_cols, steps, b)
-        _RUN_CACHE[key] = run
+    chunk = min(epoch_chunk or n_epochs, n_epochs)
+    chunk_lens = [chunk] * (n_epochs // chunk)
+    if n_epochs % chunk:
+        chunk_lens.append(n_epochs % chunk)
+
+    def run_of(length):
+        key = (model, n_epochs, task, cosine, plateau, mask_cols, steps, b,
+               "resident", length, _tree_key(slot_train),
+               _tree_key(slot_val), _tree_key(slot_test))
+        run = _RUN_CACHE.get(key)
+        if run is None:
+            run = _build_run_resident(model, n_epochs, task, cosine, plateau,
+                                      mask_cols, steps, b, length)
+            _RUN_CACHE[key] = run
+        return run
 
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
     opt_state = tx.init(variables["params"])
-    t0 = time.time()
-    variables, best_val, test_metric, per_epoch = run(
-        variables, opt_state, slot_train, slot_val, slot_test,
-        val_plan, test_plan,
-        jnp.asarray(val_loader.num_examples, jnp.float32),
-        jnp.asarray(test_loader.num_examples, jnp.float32),
-        jax.random.PRNGKey(seed), jnp.asarray(lr, jnp.float32),
+    if task == "regression":
+        init_best = jnp.inf
+    else:
+        init_best = -jnp.inf
+    rng, shuffle_key = jax.random.split(jax.random.PRNGKey(seed))
+    carry = (
+        variables, opt_state, rng, plateau_init(lr),
+        jnp.asarray(init_best, jnp.float32), jnp.asarray(0.0, jnp.float32),
     )
-    jax.block_until_ready(best_val)
+    num_val = jnp.asarray(val_loader.num_examples, jnp.float32)
+    num_test = jnp.asarray(test_loader.num_examples, jnp.float32)
+    lr_arr = jnp.asarray(lr, jnp.float32)
+
+    t0 = time.time()
+    epoch0 = 0
+    per_epoch_parts = []
+    for length in chunk_lens:
+        carry, per_epoch = run_of(length)(
+            carry, slot_train, slot_val, slot_test, val_plan, test_plan,
+            num_val, num_test, shuffle_key, lr_arr,
+            jnp.asarray(epoch0, jnp.int32),
+        )
+        # block per chunk: keeps at most one chunk in flight so the tunnel
+        # never sees a queue of >1-min executions
+        jax.block_until_ready(carry[4])
+        per_epoch_parts.append(per_epoch)
+        epoch0 += length
+    variables, _, _, _, best_val, test_metric = carry
     train_time = time.time() - t0
     return FitResult(
         best_val=float(best_val),
         test=float(test_metric),
         train_time=train_time,
-        perf_per_epoch=np.stack(
-            [np.asarray(per_epoch[0]), np.asarray(per_epoch[1])], axis=1
-        ),
+        perf_per_epoch=np.concatenate(
+            [np.stack([np.asarray(p[0]), np.asarray(p[1])], axis=1)
+             for p in per_epoch_parts], axis=0),
         variables=variables,
     )
 
@@ -806,49 +853,29 @@ def fit_regression(model, variables, train_loader, val_loader, test_loader,
         y_dim = int(np.asarray(next(iter(val_loader)).y.shape[-1]))
         mask_cols = y_dim // 2
     plateau = PlateauConfig(mode="max", factor=0.9, patience=15, min_lr=1e-4)
-    engine = (fit_stepwise
-              if model.__class__.__name__ in STEPWISE_MODELS
-              else fit_resident)
-    return engine(
-        model, variables, train_loader, val_loader, test_loader,
-        n_epochs=n_epochs, lr=lr, task="regression", cosine=cosine,
-        plateau=plateau, mask_cols=mask_cols, seed=seed,
-    )
-    return fit(
-        model, variables,
-        _stage_epochs(train_loader, n_epochs),
-        stack_batches(list(val_loader)),
-        stack_batches(list(test_loader)),
-        num_val=val_loader.num_examples,
-        num_test=test_loader.num_examples,
-        n_epochs=n_epochs, lr=lr, task="regression", cosine=cosine,
-        plateau=plateau,
-        mask_cols=mask_cols, seed=seed,
-    )
+    kw = dict(n_epochs=n_epochs, lr=lr, task="regression", cosine=cosine,
+              plateau=plateau, mask_cols=mask_cols, seed=seed)
+    name = model.__class__.__name__
+    if name in STEPWISE_MODELS:
+        return fit_stepwise(model, variables, train_loader, val_loader,
+                            test_loader, **kw)
+    return fit_resident(model, variables, train_loader, val_loader,
+                        test_loader, epoch_chunk=RESIDENT_CHUNK.get(name),
+                        **kw)
 
 
 def fit_classification(model, variables, train_loader, val_loader, test_loader,
                        n_epochs=100, lr=1e-4, seed=0):
     plateau = PlateauConfig(mode="max", factor=0.9, patience=25, min_lr=1e-5)
-    engine = (fit_stepwise
-              if model.__class__.__name__ in STEPWISE_MODELS
-              else fit_resident)
-    return engine(
-        model, variables, train_loader, val_loader, test_loader,
-        n_epochs=n_epochs, lr=lr, task="classification", cosine=False,
-        plateau=plateau, seed=seed,
-    )
-    return fit(
-        model, variables,
-        _stage_epochs(train_loader, n_epochs),
-        stack_batches(list(val_loader)),
-        stack_batches(list(test_loader)),
-        num_val=val_loader.num_examples,
-        num_test=test_loader.num_examples,
-        n_epochs=n_epochs, lr=lr, task="classification", cosine=False,
-        plateau=plateau,
-        seed=seed,
-    )
+    kw = dict(n_epochs=n_epochs, lr=lr, task="classification", cosine=False,
+              plateau=plateau, seed=seed)
+    name = model.__class__.__name__
+    if name in STEPWISE_MODELS:
+        return fit_stepwise(model, variables, train_loader, val_loader,
+                            test_loader, **kw)
+    return fit_resident(model, variables, train_loader, val_loader,
+                        test_loader, epoch_chunk=RESIDENT_CHUNK.get(name),
+                        **kw)
 
 
 def run_experiment(model, train_loader, val_loader, test_loader, n_epochs=100,

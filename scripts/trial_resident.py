@@ -25,7 +25,9 @@ from geometric_message_passing_tpu.experiments.train import (
     tiny_init_batch)
 from geometric_message_passing_tpu.graph import (GraphLoader, pad_sizes,
                                                  random_split)
-from geometric_message_passing_tpu.models import MACEModel, TFNModel
+from geometric_message_passing_tpu.models import (DimeNetPPModel,
+                                                  GVPGNNModel, MACEModel,
+                                                  SphereNetModel, TFNModel)
 
 
 def main():
@@ -35,7 +37,14 @@ def main():
                                  seed=0)
     tr, va, te = random_split(data, [0.5, 0.2, 0.3], seed=0)
     pad = pad_sizes(data, 100)
-    kw = dict(batch_size=100, pad=pad)
+    needs_tri = name in ("dimenet", "spherenet")
+    needs_quads = name == "spherenet"
+    tri_pad = None
+    if needs_tri:
+        from geometric_message_passing_tpu.triplets import triplet_pad_sizes
+        tri_pad = triplet_pad_sizes(data, 100, needs_quads)
+    kw = dict(batch_size=100, pad=pad, with_triplets=needs_tri,
+              with_quads=needs_quads, triplet_pad=tri_pad)
     tr_l = GraphLoader(tr, shuffle=True, seed=0, **kw)
     va_l, te_l = GraphLoader(va, **kw), GraphLoader(te, **kw)
     model = dict(
@@ -43,14 +52,20 @@ def main():
                      pool="first"),
         mace=MACEModel(out_dim=1, emb_dim=64, num_layers=2, max_ell=3,
                        correlation=3, pool="first"),
+        dimenet=DimeNetPPModel(out_dim=1, num_layers=4),
+        spherenet=SphereNetModel(out_dim=1, num_layers=2),
+        gvp=GVPGNNModel(out_dim=1, num_layers=4, pool="first"),
     )[name]
     variables = init_variables(model, seed_everything(0),
                                tiny_init_batch(tr_l))
     args = dict(n_epochs=n_epochs, lr=5e-4, task="regression", cosine=True,
                 seed=0)
 
+    from geometric_message_passing_tpu.experiments.train import RESIDENT_CHUNK
+    chunk = RESIDENT_CHUNK.get(model.__class__.__name__)
     t0 = time.time()
-    r_res = fit_resident(model, variables, tr_l, va_l, te_l, **args)
+    r_res = fit_resident(model, variables, tr_l, va_l, te_l,
+                         epoch_chunk=chunk, **args)
     t_res = time.time() - t0
     print(f"resident: wall {t_res:.1f}s train {r_res.train_time:.1f}s "
           f"val {r_res.best_val:.4f} test {r_res.test:.4f}", flush=True)

@@ -26,6 +26,11 @@ CONFIGS = [
     ("tfn",     "paired_star",  0.0712, ["--pool", "mean", "--n_layers", "4", "--n_epochs", "200", "--n_pairs", "2"]),
     ("mace",    "paired_star2", 0.1013, ["--pool", "mean", "--n_layers", "2", "--n_epochs", "200", "--n_pairs", "2"]),
     ("egnn",    "paired_star2", 0.3008, ["--pool", "first", "--n_layers", "4", "--n_epochs", "600", "--n_pairs", "2"]),
+    # tfn/paired_star2 mean-pool row IS runnable with the reference's current
+    # source (unlike its "first_and_last" row); dimenet/paired_star2 DIVERGED
+    # in the reference ledger (mean 3.95e7) — stability comparison row.
+    ("tfn",     "paired_star2", 0.1888, ["--pool", "mean", "--n_layers", "4", "--n_epochs", "200", "--n_pairs", "2"]),
+    ("dimenet", "paired_star2", 39526332.0, ["--pool", "mean", "--n_layers", "4", "--n_epochs", "600", "--n_pairs", "2"]),
     # the two rows below anchor to the reference's UNLABELED (pre-dataset-
     # flag) ledger entries — star dataset, model-default pooling, single
     # reference runs.  fold/n_data/epochs mined from exp_history.json.

@@ -202,6 +202,16 @@ def test_stepwise_engine_matches_monolith():
     assert abs(r1.best_val - r2.best_val) < 1e-5, (r1.best_val, r2.best_val)
     assert abs(r1.test - r2.test) < 1e-5, (r1.test, r2.test)
 
+    # chunked resident execution (bounds single device-call time on the TPU
+    # tunnel) must reproduce the one-call monolith exactly — including a
+    # remainder chunk (8 = 3+3+2) and the carried plateau/best-val state
+    r3 = fit_resident(model, variables, tr_l, va_l, te_l, epoch_chunk=3,
+                      **args)
+    np.testing.assert_allclose(r3.perf_per_epoch, r1.perf_per_epoch,
+                               rtol=0, atol=1e-6)
+    assert abs(r3.best_val - r1.best_val) < 1e-6
+    assert abs(r3.test - r1.test) < 1e-6
+
 
 def test_stepwise_checkpoint_resume(tmp_path):
     """Kill-and-resume: training with periodic checkpoints, restarted from
