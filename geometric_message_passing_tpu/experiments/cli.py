@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_times", type=int, default=1)
     p.add_argument("--batch_size", type=int, default=100)
     p.add_argument("--results_file", type=str, default="exp_history.json")
+    # fault-tolerance (new vs reference, SURVEY §5): periodic orbax
+    # checkpoints + exact resume; NaN-watchdog rollback
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--checkpoint_every", type=int, default=0)
+    p.add_argument("--nan_recovery", action="store_true")
     return p
 
 
@@ -116,6 +121,9 @@ def main(argv=None):
         model_func, model_args, train_loader, val_loader, test_loader,
         n_epochs=args.n_epochs, n_times=args.n_times, verbose=True,
         cosine=args.cosine, lr=args.lr, loss_mask=loss_mask,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        nan_recovery=args.nan_recovery,
     )
     print(f"Test MAE {mean:.5f} ± {std:.5f}  (total {time.time()-t0:.1f}s)")
 

@@ -847,7 +847,8 @@ def _stage_epochs(loader: GraphLoader, n_epochs: int) -> GraphBatch:
 
 def fit_regression(model, variables, train_loader, val_loader, test_loader,
                    n_epochs=100, lr=1e-4, cosine=False, loss_mask=False,
-                   seed=0):
+                   seed=0, checkpoint_dir=None, checkpoint_every=0,
+                   nan_recovery=False):
     mask_cols = None
     if loss_mask:
         y_dim = int(np.asarray(next(iter(val_loader)).y.shape[-1]))
@@ -856,9 +857,12 @@ def fit_regression(model, variables, train_loader, val_loader, test_loader,
     kw = dict(n_epochs=n_epochs, lr=lr, task="regression", cosine=cosine,
               plateau=plateau, mask_cols=mask_cols, seed=seed)
     name = model.__class__.__name__
-    if name in STEPWISE_MODELS:
+    if checkpoint_dir is not None or name in STEPWISE_MODELS:
+        # fault-tolerant runs need host control between epochs -> stepwise
         return fit_stepwise(model, variables, train_loader, val_loader,
-                            test_loader, **kw)
+                            test_loader, checkpoint_dir=checkpoint_dir,
+                            checkpoint_every=checkpoint_every,
+                            nan_recovery=nan_recovery, **kw)
     return fit_resident(model, variables, train_loader, val_loader,
                         test_loader, epoch_chunk=RESIDENT_CHUNK.get(name),
                         **kw)
@@ -903,9 +907,13 @@ def run_experiment(model, train_loader, val_loader, test_loader, n_epochs=100,
 
 def run_experiment_reg(model_func, model_args, train_loader, val_loader,
                        test_loader, n_epochs=100, n_times=100, verbose=False,
-                       cosine=False, lr=1e-4, loss_mask=False):
+                       cosine=False, lr=1e-4, loss_mask=False,
+                       checkpoint_dir=None, checkpoint_every=0,
+                       nan_recovery=False):
     """Regression repeat protocol (train_utils.py:221-241): model re-init
-    each repeat."""
+    each repeat.  ``checkpoint_dir`` enables fault-tolerant training (one
+    subdirectory per repeat); a re-run with the same dir resumes each
+    repeat from its latest checkpoint."""
     init_batch = tiny_init_batch(train_loader)
     best_val, test_mae, times = [], [], []
     for idx in range(n_times):
@@ -916,6 +924,9 @@ def run_experiment_reg(model_func, model_args, train_loader, val_loader,
             model, variables, train_loader, val_loader, test_loader,
             n_epochs=n_epochs, lr=lr, cosine=cosine, loss_mask=loss_mask,
             seed=idx,
+            checkpoint_dir=(f"{checkpoint_dir}/run{idx}"
+                            if checkpoint_dir else None),
+            checkpoint_every=checkpoint_every, nan_recovery=nan_recovery,
         )
         best_val.append(res.best_val)
         test_mae.append(res.test)

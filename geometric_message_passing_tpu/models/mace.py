@@ -42,6 +42,9 @@ class MACEModel(nn.Module):
     # shard_map; channel-mixing ops psum over tp_axis.
     tp_axis: Optional[str] = None
     tp_size: int = 1
+    # bf16 storage/compute for the per-edge TP weight tensor (see
+    # nn/conv.py::TensorProductConvLayer.weights_bf16) — speed knob
+    weights_bf16: bool = True
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -72,6 +75,7 @@ class MACEModel(nn.Module):
                 gate=False,
                 tp_axis=self.tp_axis,
                 tp_size=self.tp_size,
+                weights_bf16=self.weights_bf16,
                 name=f"conv_{i}",
             )(h, batch.senders, batch.receivers, edge_sh, edge_feats,
               edge_mask=batch.edge_mask, node_mask=batch.node_mask, train=train)

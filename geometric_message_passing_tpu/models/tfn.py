@@ -37,6 +37,9 @@ class TFNModel(nn.Module):
     batch_norm: bool = False
     residual: bool = True
     equivariant_pred: bool = False
+    # bf16 storage/compute for the per-edge TP weight tensor (see
+    # nn/conv.py::TensorProductConvLayer.weights_bf16) — speed knob
+    weights_bf16: bool = True
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -65,6 +68,7 @@ class TFNModel(nn.Module):
                 aggr=self.aggr,
                 batch_norm=self.batch_norm,
                 gate=self.gate,
+                weights_bf16=self.weights_bf16,
                 name=f"conv_{i}",
             )(h, batch.senders, batch.receivers, edge_sh, edge_feats,
               edge_mask=batch.edge_mask, node_mask=batch.node_mask, train=train)
