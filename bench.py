@@ -47,6 +47,9 @@ def main():
     from geometric_message_passing_tpu.graph import GraphLoader, pad_sizes, random_split
     from geometric_message_passing_tpu.models.egnn_fused import EGNNFusedModel
 
+    # GMP_BENCH_MODEL=egnn selects the plain-XLA EGNN; default is the
+    # fused-Pallas variant (same numerics, different kernel strategy).
+    which = os.environ.get("GMP_BENCH_MODEL", "egnn_fused")
     n_data, batch_size, n_epochs, n_layers = 1400, 100, 200, 4
     data = ds.create_star_graphs(num=n_data, fold=[5, 6, 7], dim=3,
                                  target="max", seed=0)
@@ -57,8 +60,13 @@ def main():
     va_l = GraphLoader(va, **kw)
     te_l = GraphLoader(te, **kw)
 
-    model = EGNNFusedModel(num_layers=n_layers, emb_dim=128, in_dim=1,
-                           out_dim=1, pool="first")
+    if which == "egnn":
+        from geometric_message_passing_tpu.models import EGNNModel
+        model = EGNNModel(num_layers=n_layers, emb_dim=128, in_dim=1,
+                          out_dim=1, pool="first")
+    else:
+        model = EGNNFusedModel(num_layers=n_layers, emb_dim=128, in_dim=1,
+                               out_dim=1, pool="first")
     variables = init_variables(model, seed_everything(0), tiny_init_batch(tr_l))
     setup_time = time.time() - t_setup
 
