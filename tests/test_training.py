@@ -300,6 +300,44 @@ def test_stepwise_nan_recovery(tmp_path):
                          lambda x: jnp.full_like(x, jnp.nan), vs))
 
 
+def test_repeat_protocol_checkpoint_threading(tmp_path):
+    """run_experiment_reg(checkpoint_dir=...) gives each repeat its own
+    checkpoint subdirectory and routes through the fault-tolerant stepwise
+    engine; a re-invocation with the same dir resumes (runs stay finite and
+    reproduce the first invocation's metrics)."""
+    from geometric_message_passing_tpu.experiments.train import (
+        run_experiment_reg)
+    from geometric_message_passing_tpu.graph import GraphLoader, pad_sizes
+    from geometric_message_passing_tpu.models import EGNNModel
+
+    data = ds.create_star_graphs(num=40, fold=[3, 4], dim=3, target="max",
+                                 seed=9)
+    tr, va, te = random_split(data, [0.5, 0.2, 0.3], seed=0)
+    pad = pad_sizes(data, 10)
+    kw = dict(batch_size=10, pad=pad)
+    tr_l = GraphLoader(tr, shuffle=True, seed=0, **kw)
+    va_l, te_l = GraphLoader(va, **kw), GraphLoader(te, **kw)
+    ckdir = str(tmp_path / "ck")
+    args = dict(model_args=dict(num_layers=1, emb_dim=16, in_dim=1,
+                                out_dim=1),
+                n_epochs=3, n_times=2, lr=5e-4,
+                checkpoint_dir=ckdir, checkpoint_every=1)
+
+    *_, mean, std = run_experiment_reg(EGNNModel, train_loader=tr_l,
+                                       val_loader=va_l, test_loader=te_l,
+                                       **args)
+    assert np.isfinite(mean) and np.isfinite(std)
+    assert (tmp_path / "ck" / "run0").is_dir()
+    assert (tmp_path / "ck" / "run1").is_dir()
+
+    # re-run with the same dir: every repeat resumes from its final
+    # checkpoint and must reproduce the metrics exactly
+    *_, mean2, std2 = run_experiment_reg(EGNNModel, train_loader=tr_l,
+                                         val_loader=va_l, test_loader=te_l,
+                                         **args)
+    assert abs(mean2 - mean) < 1e-6 and abs(std2 - std) < 1e-6
+
+
 @pytest.mark.parametrize("name", ["egnn", "schnet", "gvp", "tfn", "mace",
                                   "dimenet", "spherenet"])
 def test_every_model_trains_through_engine(name):
