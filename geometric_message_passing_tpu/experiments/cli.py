@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", type=str, default=None)
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--nan_recovery", action="store_true")
+    # precision knob: bf16 storage/compute for the per-edge TP weight giant
+    # (tfn/mace only); measured speed/quality tradeoff in RESULTS.md
+    p.add_argument("--bf16_tp_weights", action=argparse.BooleanOptionalAction,
+                   default=False)
     return p
 
 
@@ -85,10 +89,12 @@ def make_model_func(args):
         return base  # node-level config flags not applicable (reference TODO)
     if name == "tfn":
         return partial(base, max_ell=args.max_ell,
-                       equivariant_pred=args.equivariant, pool=args.pool)
+                       equivariant_pred=args.equivariant, pool=args.pool,
+                       weights_bf16=args.bf16_tp_weights)
     if name == "mace":
         return partial(base, max_ell=args.max_ell, correlation=args.max_corr,
-                       equivariant_pred=args.equivariant, pool=args.pool)
+                       equivariant_pred=args.equivariant, pool=args.pool,
+                       weights_bf16=args.bf16_tp_weights)
     return partial(base, equivariant_pred=args.equivariant, pool=args.pool)
 
 

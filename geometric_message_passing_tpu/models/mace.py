@@ -43,8 +43,9 @@ class MACEModel(nn.Module):
     tp_axis: Optional[str] = None
     tp_size: int = 1
     # bf16 storage/compute for the per-edge TP weight tensor (see
-    # nn/conv.py::TensorProductConvLayer.weights_bf16) — speed knob
-    weights_bf16: bool = True
+    # nn/conv.py::TensorProductConvLayer.weights_bf16) — opt-in speed knob;
+    # measured tradeoff in RESULTS.md (star MAE degrades, paired_star doesn't)
+    weights_bf16: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):

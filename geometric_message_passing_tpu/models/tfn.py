@@ -38,8 +38,9 @@ class TFNModel(nn.Module):
     residual: bool = True
     equivariant_pred: bool = False
     # bf16 storage/compute for the per-edge TP weight tensor (see
-    # nn/conv.py::TensorProductConvLayer.weights_bf16) — speed knob
-    weights_bf16: bool = True
+    # nn/conv.py::TensorProductConvLayer.weights_bf16) — opt-in speed knob;
+    # measured tradeoff in RESULTS.md (star MAE degrades, paired_star doesn't)
+    weights_bf16: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):

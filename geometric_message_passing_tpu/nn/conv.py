@@ -42,10 +42,11 @@ class TensorProductConvLayer(nn.Module):
     tp_size: int = 1
     # Per-edge TP weights are the memory giant of the layer ([E, sum_p u*w]
     # ~ 94k floats/edge at 64 channels, max_ell=3 — 1.6GB fwd at E~4k).
-    # The TPU MXU multiplies f32 operands in bf16 passes anyway, so storing
-    # them bf16 halves the HBM traffic of the hot tensor with no change to
-    # the effective matmul precision; gradients stay f32.
-    weights_bf16: bool = True
+    # Storing them bf16 halves the HBM traffic of the hot tensor and is
+    # ~1.5x faster (MACE star); but the rounding is NOT free in quality on
+    # all tasks (MACE star MAE 0.0833 bf16 vs 0.0767 f32, RESULTS.md), so
+    # like every precision knob here it is opt-in.  Gradients stay f32.
+    weights_bf16: bool = False
 
     def setup(self):
         out_irreps = Irreps(self.out_irreps)
