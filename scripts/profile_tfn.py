@@ -37,15 +37,19 @@ def timed(name, fn, *args):
     @jax.jit
     def loop(*a):
         def body(c, i):
-            # thread the carry into the first arg so XLA cannot hoist the
-            # body out of the loop (loop-invariant code motion)
+            # perturb the first arg by the scan index: iteration-dependent,
+            # so the body cannot be hoisted out of the loop (c*0 would be
+            # constant-folded and LICM'd)
+            eps = i.astype(jnp.float32) * 1e-30
             a0 = jax.tree.map(
-                lambda x: x + (c * 0).astype(x.dtype)
+                lambda x: x + eps.astype(x.dtype)
                 if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
                 a[0],
             )
             out = fn(a0, *a[1:])
-            s = sum(jnp.sum(x).astype(jnp.float32)
+            # sum of SQUARES: a plain sum lets XLA factor the reduction
+            # through matmuls and skip the contraction entirely
+            s = sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
                     for x in jax.tree.leaves(out)
                     if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating))
             return c + s * 1e-30, None
@@ -54,11 +58,10 @@ def timed(name, fn, *args):
                               jnp.arange(ITERS))
         return tot
 
-    r = loop(*args)
-    jax.block_until_ready(r)
+    float(loop(*args))   # warmup; host fetch forces completion (the axon
+    # tunnel's block_until_ready does NOT reliably block — CLAUDE.md)
     t0 = time.perf_counter()
-    r = loop(*args)
-    jax.block_until_ready(r)
+    float(loop(*args))
     ms = (time.perf_counter() - t0) / ITERS * 1000
     print(f"{name:36s} {ms:8.2f} ms/iter", flush=True)
     return ms

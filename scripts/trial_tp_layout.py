@@ -36,14 +36,20 @@ E = 1536
 
 def timed(name, fn, *args):
     @jax.jit
-    def loop(*a):
-        def body(c, _):
+    def loop(seed, *a):
+        def body(c, i):
+            # perturb by seed+index: iteration- AND call-dependent, so the
+            # body can neither be hoisted out of the loop nor the whole
+            # call deduplicated against an earlier identical execution
+            eps = (seed + i.astype(jnp.float32)) * 1e-30
             a0 = jax.tree.map(
-                lambda x: x + (c * 0).astype(x.dtype)
+                lambda x: x + eps.astype(x.dtype)
                 if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
                 a[0])
             out = fn(a0, *a[1:])
-            s = sum(jnp.sum(x).astype(jnp.float32)
+            # sum-of-SQUARES: a plain sum lets XLA factor the reduction
+            # through the matmul (sum_w W first) and skip the contraction
+            s = sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
                     for x in jax.tree.leaves(out))
             return c + s * 1e-30, None
 
@@ -51,13 +57,17 @@ def timed(name, fn, *args):
                               jnp.arange(ITERS))
         return tot
 
-    r = loop(*args)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    r = loop(*args)
-    jax.block_until_ready(r)
-    ms = (time.perf_counter() - t0) / ITERS * 1000
-    print(f"{name:44s} {ms:8.2f} ms/iter", flush=True)
+    float(loop(jnp.float32(0.0), *args))   # warmup; fetch forces completion
+    times = []
+    for k in range(3):
+        t0 = time.perf_counter()
+        # NOTE: jax.block_until_ready does NOT reliably block on the axon
+        # tunnel backend — only a host fetch of the value does (CLAUDE.md)
+        float(loop(jnp.float32(k + 1.0), *args))
+        times.append((time.perf_counter() - t0) / ITERS * 1000)
+    ms = sorted(times)[1]
+    print(f"{name:44s} {ms:8.2f} ms/iter   (3 reps: "
+          + ", ".join(f"{t:.2f}" for t in times) + ")", flush=True)
     return ms
 
 
@@ -110,7 +120,7 @@ def main():
         timed(f"{name} fwd", fn, tmp, w)
         timed(f"{name} fwd+bwd",
               lambda t_, w_, fn=fn: jax.grad(
-                  lambda a, b: sum(jnp.sum(o.astype(jnp.float32))
+                  lambda a, b: sum(jnp.sum(jnp.square(o.astype(jnp.float32)))
                                    for o in fn(a, b)), argnums=(0, 1)
               )(t_, w_), tmp, w)
 
