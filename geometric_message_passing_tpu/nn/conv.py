@@ -78,13 +78,24 @@ class TensorProductConvLayer(nn.Module):
             self.tp = EdgeTensorProduct(
                 Irreps(self.in_irreps), Irreps(self.sh_irreps), tp_out
             )
+        # The edge MLP's trunk is shared; the FINAL Dense is split into one
+        # head per output-irrep group so the per-edge weights are produced
+        # directly in per-group tensors.  A single [E, weight_numel] output
+        # sliced per group compiled to full-tensor copies (+ relayouts for
+        # the batched TP dots) — ~1.1 GB/step of copy traffic for TFN
+        # (RESULTS.md).  Same math: Dense init distributions depend only on
+        # fan-in, which is identical for every head.
         self.fc = MLP(
-            hidden=(self.mlp_dim, self.tp.weight_numel),
+            hidden=(self.mlp_dim,),
             activation="relu",
             norm=None,
-            act_final=False,
-            final_dtype="bfloat16" if self.weights_bf16 else None,
+            act_final=True,
         )
+        head_dtype = "bfloat16" if self.weights_bf16 else None
+        self.fc_heads = [
+            nn.Dense(n, dtype=head_dtype, name=f"fc_out{g}")
+            for g, n in enumerate(self.tp.group_weight_numels)
+        ]
         self._bn = (
             EquivariantBatchNorm(out_irreps) if self.batch_norm else None
         )
@@ -93,8 +104,9 @@ class TensorProductConvLayer(nn.Module):
                  edge_mask=None, node_mask=None, train: bool = False):
         """node_feats: [N, in_irreps.dim]. Returns [N, out_irreps.dim]."""
         num_nodes = node_feats.shape[0]
-        w = self.fc(edge_feats)   # bf16 when weights_bf16 (MLP final_dtype)
-        msg = self.tp.apply(node_feats[receivers], edge_sh, w)
+        a = self.fc(edge_feats)
+        ws = [head(a) for head in self.fc_heads]  # bf16 when weights_bf16
+        msg = self.tp.apply_grouped(node_feats[receivers], edge_sh, ws)
         if self.aggr in ("sum", "add"):
             out = segment_sum(msg, senders, num_nodes, mask=edge_mask)
         elif self.aggr == "mean":

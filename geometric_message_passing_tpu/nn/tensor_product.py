@@ -128,20 +128,42 @@ class EdgeTensorProduct:
             return self._apply_combined(x, sh, weights)
         return self._apply_per_path(x, sh, weights)
 
-    def _apply_combined(self, x, sh, weights):
+    @property
+    def group_weight_numels(self):
+        """Per-output-irrep-group weight widths, in ``_groups`` order (the
+        flat weight vector is their concatenation)."""
+        if self._uniform_mul is None:
+            return [self.weight_numel]
+        u = self._uniform_mul
+        return [n_p * u * mul_o for _, n_p, _, _, _, _, mul_o in self._groups]
+
+    def apply_grouped(self, x, sh, ws):
+        """Like ``apply`` but takes the per-edge weights PRE-SPLIT per
+        output-irrep group (list in ``_groups`` order, widths
+        ``group_weight_numels``; intra-group layout unchanged: path-major,
+        then [u, w] row-major).
+
+        Feeding the groups straight from per-group producer matmuls avoids
+        slicing a materialized [E, sum_p u*w] giant — on TPU each such slice
+        compiled to a full copy (+ a relayout for the batched dot), ~1.1 GB
+        of pure copy traffic per TFN train step (RESULTS.md)."""
+        if self._uniform_mul is None:
+            return self._apply_per_path(x, sh, jnp.concatenate(ws, axis=-1))
+        return self._apply_combined(x, sh, None, ws=ws)
+
+    def _apply_combined(self, x, sh, weights, ws=None):
         """Stage 1: one 3-operand einsum over the combined CG constant.
         Stage 2: one batched matmul per output irrep over the CONTIGUOUS
-        k=(path,u) axis — the per-edge weight giant [E, sum_p u*w] reshapes
+        k=(path,u) axis — the per-edge weight block [E, n_p*u*w] reshapes
         freely to [E, (p,u), w] (its native flat layout), so XLA emits the
-        dot with no relayout of the ~300MB tensor; only the small CG
-        intermediate is transposed.  Measured 1.55x faster fwd+bwd than the
-        (u,p)-split einsum at TFN max_ell=3 shapes (scripts/trial_tp_layout)."""
+        dot with no relayout of the big tensor; only the small CG
+        intermediate is transposed."""
         u = self._uniform_mul
         xr = _to_channel_layout(x, self.irreps_in)        # [E, u, L]
         C = jnp.asarray(self._C, dtype=x.dtype)
         tmp = jnp.einsum("...ua,...b,abm->...um", xr, sh, C)   # [E, u, M]
         outs = [None] * len(self.irreps_out)
-        for i_out, n_p, m0, w0, d3, _, mul_o in self._groups:
+        for g, (i_out, n_p, m0, w0, d3, _, mul_o) in enumerate(self._groups):
             T = tmp[..., m0 : m0 + n_p * d3].reshape(
                 tmp.shape[:-1] + (n_p, d3)
             )                                             # [E, u, P, d3]
@@ -149,9 +171,8 @@ class EdgeTensorProduct:
                 tmp.shape[:-2] + (n_p * u, d3)
             )                                             # [E, (p,u), d3]
             nW = n_p * u * mul_o
-            W = weights[..., w0 : w0 + nW].reshape(
-                weights.shape[:-1] + (n_p * u, mul_o)
-            )                                             # [E, (p,u), w] free
+            W = ws[g] if ws is not None else weights[..., w0 : w0 + nW]
+            W = W.reshape(W.shape[:-1] + (n_p * u, mul_o))  # [E, (p,u), w]
             outs[i_out] = jnp.einsum("...km,...kw->...wm", T, W)
         for k, (mul, ir) in enumerate(self.irreps_out):
             if outs[k] is None:

@@ -46,10 +46,12 @@ def tp_local_model(model, tp_size: int, axis: str = "tp"):
                        tp_axis=axis, tp_size=tp_size)
 
 
-def _fc_weight_cols(model, layer: int, tp_size: int, shard: int) -> np.ndarray:
-    """Column indices of the full edge-MLP output kernel that belong to
-    ``shard``: for every TP path, the weight block is [mul_in, mul_out]
-    row-major, and a shard owns the rows of its input channels."""
+def _fc_group_weight_cols(model, layer: int, group: int, tp_size: int,
+                          shard: int) -> np.ndarray:
+    """Column indices of the full edge-MLP group-``group`` head kernel that
+    belong to ``shard``: for every TP path in the group, the weight block is
+    [mul_in, mul_out] row-major, and a shard owns the rows of its input
+    channels (row-parallel over the irrep multiplicity)."""
     sh_irreps = Irreps.spherical_harmonics(model.max_ell)
     hidden = (
         Irreps(model.hidden_irreps) if model.hidden_irreps is not None
@@ -57,8 +59,10 @@ def _fc_weight_cols(model, layer: int, tp_size: int, shard: int) -> np.ndarray:
     )
     in_irreps = (Irreps(f"{model.emb_dim}x0e") if layer == 0 else hidden)
     tp_full = EdgeTensorProduct(in_irreps, sh_irreps, hidden)
+    start = sum(g[1] for g in tp_full._groups[:group])
+    n_p = tp_full._groups[group][1]
     cols, off = [], 0
-    for p in tp_full.paths:
+    for p in tp_full.paths[start : start + n_p]:
         u, w = p.mul_in1, p.mul_out
         u_loc = u // tp_size
         blk = np.arange(u * w).reshape(u, w)
@@ -81,10 +85,12 @@ def shard_mace_variables(variables, model, tp_size: int):
                 parts = [x] * tp_size   # channel-free CG constants: replicate
             elif key.startswith("emb_in/"):
                 parts = np.split(x, tp_size, axis=-1)
-            elif "/fc/Dense_1/" in key:
+            elif "/fc_out" in key:
                 layer = int(path[0].split("_")[1])
+                group = int(path[1][len("fc_out"):])
                 parts = [
-                    x[..., _fc_weight_cols(model, layer, tp_size, p)]
+                    x[..., _fc_group_weight_cols(model, layer, group,
+                                                 tp_size, p)]
                     for p in range(tp_size)
                 ]
             elif "/fc/" in key:

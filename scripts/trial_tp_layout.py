@@ -131,5 +131,53 @@ def main():
     print(f"max |a-b| = {err:.2e}")
 
 
+
+
+
+def pallas_vs_einsum():
+    """Time ops/pallas_tp.py::edge_weighted_contract against the einsum twin
+    at the real TFN group shapes (per conv layer, f32)."""
+    from geometric_message_passing_tpu.ops.pallas_tp import (
+        _contract_xla, edge_weighted_contract)
+
+    sh_irreps = Irreps.spherical_harmonics(3)
+    hidden = (sh_irreps * 64).sort().simplify()
+    tp = EdgeTensorProduct(hidden, sh_irreps, hidden)
+    u = tp._uniform_mul
+    rng = np.random.default_rng(0)
+    shapes = [(n_p * u, d3, mul_o)
+              for _, n_p, _, _, d3, _, mul_o in tp._groups]
+    print("group shapes (K, m, w):", shapes)
+
+    for te in (32, 64):
+        for name, fn in [
+            ("einsum", lambda T, W: _contract_xla(T, W)),
+            (f"pallas te={te}",
+             lambda T, W, te=te: edge_weighted_contract(T, W, te=te)),
+        ]:
+            def all_groups(Ts, Ws=None):
+                # Ts carries both when grads not needed
+                return [fn(t, w) for t, w in zip(Ts[0], Ts[1])]
+
+            Ts = tuple(jnp.asarray(rng.standard_normal((E, K, m)),
+                                   jnp.float32) for K, m, _ in shapes)
+            Ws = tuple(jnp.asarray(rng.standard_normal((E, K, w)),
+                                   jnp.float32) for K, _, w in shapes)
+            timed(f"{name} all-groups fwd", all_groups, (Ts, Ws))
+            timed(f"{name} all-groups fwd+bwd",
+                  lambda TW: jax.grad(
+                      lambda ts, ws: sum(
+                          jnp.sum(jnp.square(fn(t, w)))
+                          for t, w in zip(ts, ws)),
+                      argnums=(0, 1))(TW[0], TW[1]),
+                  (Ts, Ws))
+
+
+if __name__ == "__main__" and "pallas" in sys.argv:
+    pallas_vs_einsum()
+    sys.exit(0)
+
+
 if __name__ == "__main__":
-    main()
+    if "pallas" not in sys.argv:
+        main()

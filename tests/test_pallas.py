@@ -110,3 +110,44 @@ def test_egnn_fused_pallas_backward_matches_twin_grads():
         assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-3), (
             name, np.abs(np.asarray(a) - np.asarray(b)).max()
         )
+
+
+def test_edge_weighted_contract_matches_xla():
+    """TP stage-2 kernel (ops/pallas_tp.py): fwd and both grads match the
+    einsum twin, including bf16 W (cotangent dtype preserved) and a ragged
+    E that needs block padding."""
+    from geometric_message_passing_tpu.ops.pallas_tp import (
+        _contract_xla, edge_weighted_contract)
+
+    rng = np.random.default_rng(0)
+    for E, K, w, m, wdtype in [(70, 96, 16, 7, jnp.float32),
+                               (64, 32, 8, 1, jnp.float32),
+                               (33, 64, 16, 5, jnp.bfloat16)]:
+        T = jnp.asarray(rng.standard_normal((E, K, m)), jnp.float32)
+        W = jnp.asarray(rng.standard_normal((E, K, w)), wdtype)
+
+        out_k = edge_weighted_contract(T, W, te=32, force="interpret")
+        out_x = _contract_xla(T, W)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                                   atol=2e-5 if wdtype == jnp.float32
+                                   else 3e-2)
+
+        def loss_k(T, W):
+            return jnp.sum(jnp.square(edge_weighted_contract(
+                T, W, te=32, force="interpret")))
+
+        def loss_x(T, W):
+            return jnp.sum(jnp.square(_contract_xla(T, W)))
+
+        gk = jax.grad(loss_k, argnums=(0, 1))(T, W)
+        gx = jax.grad(loss_x, argnums=(0, 1))(T, W)
+        assert gk[1].dtype == wdtype
+        scale = max(float(jnp.abs(gx[0]).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gx[0]),
+                                   atol=(2e-5 if wdtype == jnp.float32
+                                         else 3e-2) * scale)
+        scale = max(float(jnp.abs(gx[1].astype(jnp.float32)).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(gk[1].astype(jnp.float32)),
+            np.asarray(gx[1].astype(jnp.float32)),
+            atol=(2e-5 if wdtype == jnp.float32 else 3e-2) * scale)
