@@ -47,6 +47,25 @@ def test_fctp_combined_matches_per_path(in_ir, sh_ir, out_ir):
 
 
 @pytest.mark.parametrize("in_ir,sh_ir,out_ir", CASES)
+def test_fctp_grouped_weights_match_flat(in_ir, sh_ir, out_ir):
+    """apply_grouped (per-group weight tensors straight from the per-group
+    MLP heads — the production path in nn/conv.py) must equal apply on the
+    concatenated flat vector."""
+    rng = np.random.default_rng(7)
+    tp = EdgeTensorProduct(Irreps(in_ir), Irreps(sh_ir), Irreps(out_ir))
+    E = 6
+    x = rng.standard_normal((E, Irreps(in_ir).dim)).astype(np.float32)
+    sh = rng.standard_normal((E, Irreps(sh_ir).dim)).astype(np.float32)
+    w = rng.standard_normal((E, tp.weight_numel)).astype(np.float32)
+    sizes = tp.group_weight_numels
+    assert sum(sizes) == tp.weight_numel
+    ws = jnp.split(jnp.asarray(w), np.cumsum(sizes)[:-1].tolist(), axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(tp.apply_grouped(x, sh, ws)),
+        np.asarray(tp.apply(x, sh, w)), atol=1e-6)
+
+
+@pytest.mark.parametrize("in_ir,sh_ir,out_ir", CASES)
 def test_uvu_combined_matches_per_path(in_ir, sh_ir, out_ir):
     rng = np.random.default_rng(1)
     tp = EdgeTensorProductUVU(Irreps(in_ir), Irreps(sh_ir), Irreps(out_ir))
