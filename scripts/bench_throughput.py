@@ -100,11 +100,16 @@ def main(names):
             return variables, opt_state, losses[-1]
 
         v, o, l = run(variables, opt_state)   # compile + warmup
-        jax.block_until_ready(l)
+        float(l)   # host fetch: block_until_ready does NOT reliably block
+                   # on the axon tunnel (CLAUDE.md)
+        v, o, l = run(v, o)
+        float(l)   # absorb the ~20s ONE-TIME first-execution cost the
+                   # tunnel charges after compile (program/constant upload)
         t0 = time.time()
         for _ in range(reps):
             v, o, l = run(v, o)
-        jax.block_until_ready(l)
+            float(l)   # fetch EVERY call: unfetched chained calls measure
+                       # 3x slower through the tunnel's pipelining
         dt = time.time() - t0
         sps = steps * reps / dt
         eps = edges_per_batch * sps
