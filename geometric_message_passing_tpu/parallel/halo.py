@@ -55,6 +55,13 @@ class HaloPlan:
     (k*B*d floats) instead of the full node set — the packed upgrade over the
     all_gather v0 above.  Every leading-[k] array is sharded over the mesh
     axis with in_spec P(axis).
+
+    Edges are ALSO split into INTERIOR (source owned locally) and BOUNDARY
+    (source arrives in the payload): interior message compute has no data
+    dependency on the collective, so XLA's latency-hiding scheduler overlaps
+    it with the all_to_all (``packed_halo_aggregate_overlapped`` — the
+    comm/compute overlap mandated by SURVEY §2.5).  The combined
+    ``edge_src_cat`` catalog form is kept for the non-overlapped variant.
     """
 
     n_local: int = struct.field(pytree_node=False)
@@ -63,6 +70,12 @@ class HaloPlan:
     edge_src_cat: jnp.ndarray  # [k, E_loc] catalog index of each edge's source
     edge_tgt_local: jnp.ndarray  # [k, E_loc] local index of the target
     edge_mask: jnp.ndarray     # [k, E_loc] bool
+    int_src: jnp.ndarray       # [k, E_int] local row of interior edge source
+    int_tgt: jnp.ndarray       # [k, E_int] local row of interior edge target
+    int_mask: jnp.ndarray      # [k, E_int] bool
+    bnd_src_slot: jnp.ndarray  # [k, E_bnd] payload slot (p*B + s) of source
+    bnd_tgt: jnp.ndarray       # [k, E_bnd] local row of boundary edge target
+    bnd_mask: jnp.ndarray      # [k, E_bnd] bool
 
 
 def build_halo_plan(senders, receivers, num_nodes: int, k: int,
@@ -113,7 +126,20 @@ def build_halo_plan(senders, receivers, num_nodes: int, k: int,
     edge_src_cat = np.zeros((k, e_loc), np.int32)
     edge_tgt_local = np.zeros((k, e_loc), np.int32)
     edge_mask_out = np.zeros((k, e_loc), bool)
+    # interior/boundary split (overlapped variant)
+    n_int = np.bincount(owner_t[emask & (owner_s == owner_t)], minlength=k)
+    n_bnd = np.bincount(owner_t[emask & (owner_s != owner_t)], minlength=k)
+    e_int = max(int(n_int.max()) if n_int.size else 0, 1)
+    e_bnd = max(int(n_bnd.max()) if n_bnd.size else 0, 1)
+    int_src = np.zeros((k, e_int), np.int32)
+    int_tgt = np.zeros((k, e_int), np.int32)
+    int_mask = np.zeros((k, e_int), bool)
+    bnd_src_slot = np.zeros((k, e_bnd), np.int32)
+    bnd_tgt = np.zeros((k, e_bnd), np.int32)
+    bnd_mask = np.zeros((k, e_bnd), bool)
     fill = np.zeros(k, np.int32)
+    fill_i = np.zeros(k, np.int32)
+    fill_b = np.zeros(k, np.int32)
     for i in range(e):
         if not emask[i]:
             continue
@@ -123,8 +149,16 @@ def build_halo_plan(senders, receivers, num_nodes: int, k: int,
         src_owner = int(owner_s[i])
         if src_owner == q:
             cat = int(senders[i]) - q * n_local
+            ji = int(fill_i[q]); fill_i[q] += 1
+            int_src[q, ji] = cat
+            int_tgt[q, ji] = tgt
+            int_mask[q, ji] = True
         else:
             cat = slot_of[(q, int(senders[i]))]
+            jb = int(fill_b[q]); fill_b[q] += 1
+            bnd_src_slot[q, jb] = cat - n_local   # payload-relative index
+            bnd_tgt[q, jb] = tgt
+            bnd_mask[q, jb] = True
         edge_src_cat[q, j] = cat
         edge_tgt_local[q, j] = tgt
         edge_mask_out[q, j] = True
@@ -136,6 +170,12 @@ def build_halo_plan(senders, receivers, num_nodes: int, k: int,
         edge_src_cat=jnp.asarray(edge_src_cat),
         edge_tgt_local=jnp.asarray(edge_tgt_local),
         edge_mask=jnp.asarray(edge_mask_out),
+        int_src=jnp.asarray(int_src),
+        int_tgt=jnp.asarray(int_tgt),
+        int_mask=jnp.asarray(int_mask),
+        bnd_src_slot=jnp.asarray(bnd_src_slot),
+        bnd_tgt=jnp.asarray(bnd_tgt),
+        bnd_mask=jnp.asarray(bnd_mask),
     )
 
 
@@ -164,6 +204,37 @@ def packed_halo_aggregate(h_local, plan_local, message_fn, axis: str = "gp"):
     msg = message_fn(h_tgt, h_src)
     return segment_sum(msg, plan_local["edge_tgt_local"], h_local.shape[0],
                        mask=plan_local["edge_mask"])
+
+
+def packed_halo_aggregate_overlapped(h_local, plan_local, message_fn,
+                                     axis: str = "gp"):
+    """Packed halo round with comm/compute OVERLAP (SURVEY §2.5: halo
+    exchange "overlapped with local aggregation").
+
+    Interior edges (source owned locally) are computed and accumulated with
+    NO data dependency on the all_to_all, so XLA's latency-hiding scheduler
+    runs the collective concurrently with the interior gather -> message ->
+    segment-sum; boundary edges consume the received payload afterwards.
+    Numerically identical to ``packed_halo_aggregate`` (same masked sums,
+    reordered additions)."""
+    if plan_local["send_idx"].ndim == 3:
+        plan_local = jax.tree.map(lambda x: x[0], plan_local)
+    send_idx, send_mask = plan_local["send_idx"], plan_local["send_mask"]
+    k, b = send_idx.shape
+    payload = h_local[send_idx] * send_mask[..., None].astype(h_local.dtype)
+    recv = collectives.all_to_all(payload, axis, 0, 0)     # [k, B, d] async
+    # interior: independent of recv — overlaps with the collective
+    msg_int = message_fn(h_local[plan_local["int_tgt"]],
+                         h_local[plan_local["int_src"]])
+    acc = segment_sum(msg_int, plan_local["int_tgt"], h_local.shape[0],
+                      mask=plan_local["int_mask"])
+    # boundary: consumes the payload
+    flat = recv.reshape(k * b, h_local.shape[-1])
+    msg_bnd = message_fn(h_local[plan_local["bnd_tgt"]],
+                         flat[plan_local["bnd_src_slot"]])
+    return acc + segment_sum(msg_bnd, plan_local["bnd_tgt"],
+                             h_local.shape[0],
+                             mask=plan_local["bnd_mask"])
 
 
 def gp_edge_aggregate(
