@@ -65,3 +65,55 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def sharded_leading(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (multi-slice) runtime
+# ---------------------------------------------------------------------------
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize the multi-host JAX runtime (`jax.distributed.initialize`).
+
+    Call ONCE per host process before any jax computation on a multi-host
+    pod slice (or multi-slice DCN deployment).  On cloud TPU all arguments
+    are auto-detected from the environment; pass them explicitly elsewhere.
+    Returns this process's index.  Single-process runs may skip this —
+    every other API in this module works unchanged on one host.
+    """
+    if jax.process_count() == 1 and coordinator_address is None:
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            # not in a multi-host environment — single-process mode
+            return 0
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    return jax.process_index()
+
+
+def make_hybrid_mesh(ici_shape: Tuple[int, ...],
+                     dcn_shape: Tuple[int, ...],
+                     axis_names: Sequence[str]) -> Mesh:
+    """Mesh spanning slices, axis i sized ici_shape[i] * dcn_shape[i]
+    (shapes must have equal rank; `mesh_utils.create_hybrid_device_mesh`).
+    Put pure-data parallelism on the DCN-extended axis (one gradient psum
+    per step tolerates slow links) and the communication-heavy strategies
+    (gp halo exchange, tp channel sharding) on ICI-only axes — the standard
+    bandwidth-hierarchy-aware layout.
+
+    Example — 2 slices x 8 chips, DP across slices, gp within each slice:
+        make_hybrid_mesh(ici_shape=(1, 8), dcn_shape=(2, 1), ("dp", "gp"))
+    """
+    from jax.experimental import mesh_utils
+
+    arr = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=tuple(ici_shape),
+        dcn_mesh_shape=tuple(dcn_shape),
+        devices=jax.devices(),
+    )
+    return Mesh(arr, axis_names)
