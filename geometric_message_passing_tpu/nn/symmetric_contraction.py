@@ -106,6 +106,13 @@ class SymmetricContraction(nn.Module):
     # (reference 0.0766), so full f32 stays the default and bf16 is an
     # explicit speed/accuracy knob.
     chain_dtype: Optional[str] = None
+    # Evaluate the chain in the reassociated outer-product form (see
+    # _fused_chain): same parameters, same math, but the [n, c, D, d, d]
+    # HBM giant never exists — the largest intermediate is x⊗x at
+    # [n, c, d, d].  Applies to element_dependent=False, correlation<=3
+    # (the zoo's entire usage); False forces the descending-nu reference
+    # chain (kept for correlation>=4 and as the test twin).
+    fused_lowrank: bool = True
 
     @nn.compact
     def __call__(self, x, y=None):
@@ -172,12 +179,55 @@ class SymmetricContraction(nn.Module):
             for nu in range(self.correlation - 1, 0, -1):
                 c = jnp.einsum("...k,ekc,be->bc...", U[nu], W[nu], y) + out
                 out = jnp.einsum("bc...i,bci->bc...", c, x)
+        elif self.fused_lowrank and self.correlation <= 3:
+            out = self._fused_chain(x, U, W, D)
         else:
             out = jnp.einsum("...ik,kc,bci->bc...", U[nu], W[nu], x)
             for nu in range(self.correlation - 1, 0, -1):
                 c = jnp.einsum("...k,kc->c...", U[nu], W[nu]) + out
                 out = jnp.einsum("bc...i,bci->bc...", c, x)
         out = out.astype(in_dtype)
+        # out: [n, c, D] in irreps_out block order -> [n, sum c*d_out]
+        return self._split_out(out, irs_out)
+
+    def _fused_chain(self, x, U, W, D):
+        """Reassociated evaluation of the descending-nu chain (corr<=3,
+        element-independent): identical parameters and math, no giant.
+
+        The chain's [b,c,D,d,d] intermediate exists only because the Horner
+        form keeps all leading output axes while contracting x one power at
+        a time.  But both contraction operands derive from the same [b,c,d]
+        x, so expanding the polynomial collapses everything into
+            out2[b,c,(D,j1)] = z[b,c,:] @ M[c,:,:]
+        with z = [x⊗x (flattened), x] of width d^2+d and M the U3W3/U2W2
+        projection matrices — one MXU-friendly batched GEMM (batch=c) whose
+        largest tensor is x⊗x at [b,c,d,d] (16x smaller than the chain's
+        giant at d=16).  The final U1W1 + contraction with x is unchanged.
+        Measured: the chain giant dominated MACE's step HBM traffic; see
+        RESULTS.md.
+        """
+        b, c, d = x.shape
+        nu = self.correlation
+        A1 = jnp.einsum("...k,kc->c...", U[1], W[1])            # [c, D, j1]
+        if nu == 1:
+            return jnp.einsum("bci,cDi->bcD", x, A1)
+        # A2: [c, D, j1, i] -> [c, i, (D, j1)]
+        A2 = jnp.einsum("...k,kc->c...", U[2], W[2])
+        A2 = jnp.transpose(A2, (0, 3, 1, 2)).reshape(c, d, D * d)
+        if nu == 3:
+            # A3: [c, D, j1, j2, i] -> [c, (i, j2), (D, j1)]
+            A3 = jnp.einsum("...k,kc->c...", U[3], W[3])
+            A3 = jnp.transpose(A3, (0, 4, 3, 1, 2)).reshape(c, d * d, D * d)
+            M = jnp.concatenate([A3, A2], axis=1)               # [c, d²+d, Dd]
+            xx = jnp.einsum("bci,bcj->bcij", x, x).reshape(b, c, d * d)
+            z = jnp.concatenate([xx, x], axis=-1)               # [b, c, d²+d]
+            out2 = jnp.einsum("bcz,czq->bcq", z, M)
+        else:  # nu == 2
+            out2 = jnp.einsum("bci,ciq->bcq", x, A2)
+        out2 = out2.reshape(b, c, D, d) + A1[None]
+        return jnp.einsum("bcqj,bcj->bcq", out2, x)
+
+    def _split_out(self, out, irs_out):
         # out: [n, c, D] in irreps_out block order -> [n, sum c*d_out]
         outs, o = [], 0
         for ir in irs_out:

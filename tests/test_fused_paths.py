@@ -115,6 +115,37 @@ def test_symmetric_contraction_fused_matches_per_irrep(elem_dep):
                                atol=2e-5 * max(scale, 1.0))
 
 
+@pytest.mark.parametrize("corr", [1, 2, 3])
+def test_symmetric_contraction_lowrank_matches_chain(corr):
+    """fused_lowrank reassociation (no [n,c,D,d,d] giant) == the
+    descending-nu reference chain: same params, outputs AND grads."""
+    rng = np.random.default_rng(7)
+    irreps = Irreps("8x0e+8x1o+8x2e+8x3o")
+    n, c = 5, 8
+    d = sum(ir.dim for _, ir in Irreps([(1, ir) for _, ir in irreps]))
+    x = jnp.asarray(rng.standard_normal((n, c, d)), jnp.float32)
+    kw = dict(irreps_in=irreps, irreps_out=irreps, correlation=corr)
+    lowrank = SymmetricContraction(**kw, fused_lowrank=True)
+    chain = SymmetricContraction(**kw, fused_lowrank=False)
+    vars_ = chain.init(jax.random.PRNGKey(1), x)
+    out_l = lowrank.apply(vars_, x)
+    out_c = chain.apply(vars_, x)
+    scale = float(jnp.abs(out_c).max())
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_c),
+                               atol=1e-5 * max(scale, 1.0))
+
+    def loss(mod):
+        def f(p):
+            return jnp.sum(jnp.sin(mod.apply({**vars_, "params": p}, x)))
+        return jax.grad(f)(vars_["params"])
+
+    gl, gc = loss(lowrank), loss(chain)
+    for a, b in zip(jax.tree.leaves(gl), jax.tree.leaves(gc)):
+        gs = float(jnp.abs(b).max())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5 * max(gs, 1.0))
+
+
 def test_symmetric_contraction_bf16_chain_close_to_f32():
     """Opt-in chain_dtype=bfloat16 must stay within bf16 rounding of the
     f32 chain (same params), and return f32."""
