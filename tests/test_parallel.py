@@ -287,3 +287,79 @@ def test_packed_halo_overlapped_matches_single_device():
         check_vma=False,
     ))(h, plan_arrays)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism (GPipe over ppermute ring)
+# ---------------------------------------------------------------------------
+
+
+def _pp_stage_fn(params, x, senders, receivers, mask):
+    """One message-passing layer as a pipeline stage: gather -> edge MLP ->
+    masked segment-sum -> residual update."""
+    h = x["h"]
+    msg = jnp.tanh((h[senders] - h[receivers]) @ params["w_msg"])
+    agg = segment_sum(msg, receivers, h.shape[0], mask=mask)
+    return {"h": h + agg @ params["w_upd"]}
+
+
+def _pp_setup(n_stages, n_micro, seed=0):
+    from geometric_message_passing_tpu.parallel.pp import stack_stage_params
+
+    rng = np.random.default_rng(seed)
+    n, e, dim = 12, 20, 8
+    params = stack_stage_params([
+        {"w_msg": jnp.asarray(rng.standard_normal((dim, dim)) * 0.3,
+                              jnp.float32),
+         "w_upd": jnp.asarray(rng.standard_normal((dim, dim)) * 0.3,
+                              jnp.float32)}
+        for _ in range(n_stages)
+    ])
+    h_mb = jnp.asarray(rng.standard_normal((n_micro, n, dim)), jnp.float32)
+    senders = jnp.asarray(rng.integers(0, n, (n_micro, e)), jnp.int32)
+    receivers = jnp.asarray(rng.integers(0, n, (n_micro, e)), jnp.int32)
+    mask = jnp.asarray(rng.random((n_micro, e)) < 0.8)
+    return params, {"h": h_mb}, (senders, receivers, mask)
+
+
+@pytest.mark.parametrize("n_micro", [8, 6])
+def test_pipeline_matches_sequential(n_micro):
+    """GPipe pipeline over 4 stages == scanning each microbatch through all
+    stages on one device (per-microbatch graph topology included)."""
+    from geometric_message_passing_tpu.parallel.pp import (
+        pipeline_apply, sequential_apply)
+
+    n_stages = 4
+    mesh = make_mesh((n_stages,), ("pp",), devices=jax.devices()[:n_stages])
+    params, x_mb, aux_mb = _pp_setup(n_stages, n_micro)
+    out_pp = pipeline_apply(_pp_stage_fn, params, x_mb, aux_mb,
+                            mesh=mesh, axis="pp")
+    out_ref = sequential_apply(_pp_stage_fn, params, x_mb, aux_mb)
+    np.testing.assert_allclose(np.asarray(out_pp["h"]),
+                               np.asarray(out_ref["h"]), atol=1e-6)
+
+
+def test_pipeline_gradients_match_sequential():
+    """Differentiating THROUGH the pipeline schedule (scan + ppermute)
+    produces the same parameter and input gradients as the sequential
+    twin — the backward pipeline comes from autodiff, not hand scheduling."""
+    from geometric_message_passing_tpu.parallel.pp import (
+        pipeline_apply, sequential_apply)
+
+    n_stages, n_micro = 4, 8
+    mesh = make_mesh((n_stages,), ("pp",), devices=jax.devices()[:n_stages])
+    params, x_mb, aux_mb = _pp_setup(n_stages, n_micro, seed=3)
+
+    def loss_pp(p, x):
+        out = pipeline_apply(_pp_stage_fn, p, x, aux_mb, mesh=mesh, axis="pp")
+        return jnp.sum(jnp.sin(out["h"]))
+
+    def loss_ref(p, x):
+        out = sequential_apply(_pp_stage_fn, p, x, aux_mb)
+        return jnp.sum(jnp.sin(out["h"]))
+
+    gp, gx = jax.grad(loss_pp, argnums=(0, 1))(params, x_mb)
+    rp, rx = jax.grad(loss_ref, argnums=(0, 1))(params, x_mb)
+    for a, b in zip(jax.tree_util.tree_leaves((gp, gx)),
+                    jax.tree_util.tree_leaves((rp, rx))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
