@@ -133,6 +133,61 @@ def tp_apply(model, sharded_variables, mesh: Mesh, axis: str = "tp"):
     return jax.jit(mapped)
 
 
+def dp_tp_train_step(model, tx, mesh: Mesh, loss_fn,
+                     dp_axis: str = "dp", tp_axis: str = "tp"):
+    """Hybrid 2-D parallel train step over a (dp, tp) mesh: every dp row
+    holds a full tp-sharded replica of the model; each dp row processes its
+    own graph shard.
+
+    Layout: ``variables``/``opt_state`` carry a leading tp-shard axis
+    (``shard_mace_variables``) -> in_spec P(tp); the batch carries a leading
+    dp-shard axis (``shard_batches``) -> in_spec P(dp).  Communication per
+    step: the model's per-layer [N, hidden] psums ride the tp axis; ONE
+    gradient psum rides the dp axis (each tp shard all-reduces only its own
+    parameter slice — the dp gradient payload is 1/tp of the model).  This
+    is the standard 2-D mesh recipe (scaling-book): tp inside the
+    fast-ICI dimension, dp outside."""
+    k = mesh.shape[tp_axis]
+    local = tp_local_model(model, k, tp_axis)
+
+    def per_device(variables, opt_state, batch):
+        variables = jax.tree.map(lambda x: x[0], variables)   # strip tp stack
+        opt_state = jax.tree.map(lambda x: x[0], opt_state)
+        batch = jax.tree.map(lambda x: x[0], batch)           # strip dp stack
+
+        def loss_of(params):
+            vs = {**variables, "params": params}
+            pred, mutated = local.apply(
+                vs, batch, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            # /k: the k tp shards compute the loss redundantly and SPMD AD
+            # sums their identical cotangents through the tp psums (see
+            # tp_train_step)
+            return loss_fn(pred, batch) / k, mutated
+
+        (loss, mutated), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            variables["params"]
+        )
+        grads = jax.lax.psum(grads, axis_name=dp_axis)
+        loss = jax.lax.psum(loss, axis_name=dp_axis)
+        mutated = jax.tree.map(
+            lambda x: jax.lax.pmean(x, axis_name=dp_axis), mutated)
+        updates, opt_state = tx.update(grads, opt_state, variables["params"])
+        params = optax.apply_updates(variables["params"], updates)
+        new_vars = {**variables, "params": params, **mutated}
+        stack = lambda t: jax.tree.map(lambda x: x[None], t)
+        return stack(new_vars), stack(opt_state), loss * k
+
+    mapped = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(tp_axis), P(tp_axis), P(dp_axis)),
+        out_specs=(P(tp_axis), P(tp_axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def tp_train_step(model, tx, mesh: Mesh, loss_fn, axis: str = "tp"):
     """TP train step: each shard owns its parameter slice; the loss (already
     replicated after the readout psum) differentiates into exact per-shard

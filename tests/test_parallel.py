@@ -363,3 +363,60 @@ def test_pipeline_gradients_match_sequential():
     for a, b in zip(jax.tree_util.tree_leaves((gp, gx)),
                     jax.tree_util.tree_leaves((rp, rx))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dp_tp_hybrid_matches_single_device():
+    """2-D (dp=2, tp=4) hybrid step: tp shards the channel (mul) axis inside
+    each dp replica, dp shards the graphs.  One sgd(1.0) probe step must
+    reproduce the single-device gradients (checked on the embedding shard and
+    an IrrepsLinear row-shard) and the global sum-loss."""
+    import optax
+
+    from geometric_message_passing_tpu.models import MACEModel
+    from geometric_message_passing_tpu.parallel.mesh import make_mesh
+    from geometric_message_passing_tpu.parallel.tp import (
+        dp_tp_train_step, shard_mace_variables)
+
+    dp, tp = 2, 4
+    graphs = ds.create_star_graphs(num=8, fold=[4], dim=3, target="max",
+                                   seed=0)
+    n_pad, e_pad, g_pad = pad_sizes(graphs, 4)
+    # batch_norm off: dp shards would otherwise normalize by per-shard batch
+    # statistics, which is a different (also valid) model than the
+    # single-device reference
+    model = MACEModel(num_layers=2, emb_dim=8, in_dim=1, out_dim=1,
+                      max_ell=2, correlation=2, batch_norm=False)
+    big = batch_graphs(graphs, n_pad * dp, e_pad * dp, g_pad * dp)
+    variables = model.init(seed_everything(0), big)
+
+    def full_loss(params):
+        pred, _ = model.apply({**variables, "params": params}, big,
+                              train=True, mutable=["batch_stats"],
+                              rngs={"dropout": jax.random.PRNGKey(0)})
+        return l1_sum_loss(pred, big)
+
+    loss_ref = float(full_loss(variables["params"]))
+    g_full = jax.grad(full_loss)(variables["params"])
+
+    mesh = make_mesh((dp, tp), ("dp", "tp"), devices=jax.devices()[:dp * tp])
+    shards = shard_mace_variables(variables, model, tp)
+    sharded = shard_batches(graphs, dp, n_pad, e_pad, g_pad)
+    tx = optax.sgd(1.0)
+    opt = jax.vmap(tx.init)(shards["params"])
+    step = dp_tp_train_step(model, tx, mesh, l1_sum_loss)
+    new_vars, _, loss = step(shards, opt, sharded)
+    g_shard = jax.tree.map(lambda a, b: a - b, shards["params"],
+                           new_vars["params"])
+
+    assert np.allclose(float(loss), loss_ref, rtol=1e-5)
+    g_emb_full = np.asarray(g_full["emb_in"]["embedding"])
+    g_emb_shard = np.asarray(g_shard["emb_in"]["embedding"])  # [tp, in, 2]
+    for p in range(tp):
+        np.testing.assert_allclose(
+            g_emb_shard[p], g_emb_full[..., p * 2 : (p + 1) * 2],
+            rtol=1e-3, atol=1e-4)
+    gl_full = np.asarray(g_full["prod_0"]["IrrepsLinear_0"]["w0_0"])
+    gl_shard = np.asarray(g_shard["prod_0"]["IrrepsLinear_0"]["w0_0"])
+    for p in range(tp):
+        np.testing.assert_allclose(
+            gl_shard[p], gl_full[p * 2 : (p + 1) * 2], rtol=1e-3, atol=1e-4)
