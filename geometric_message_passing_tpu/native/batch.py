@@ -62,6 +62,49 @@ def _fn(lib):
     return fn
 
 
+_TRI_SIG_SET = False
+
+
+def _tri_fns(lib):
+    global _TRI_SIG_SET
+    cnt, fill = lib.gmp_count_triplets, lib.gmp_fill_triplets
+    if not _TRI_SIG_SET:
+        cnt.restype = None
+        cnt.argtypes = [_I32P, _I32P, ctypes.c_int32, ctypes.c_int32,
+                        ctypes.c_int32, _I64P]
+        fill.restype = None
+        fill.argtypes = [_I32P, _I32P, ctypes.c_int32, ctypes.c_int32,
+                         ctypes.c_int32,
+                         _I32P, _I32P, _I32P, _I32P, _I32P, _I32P, _I32P]
+        _TRI_SIG_SET = True
+    return cnt, fill
+
+
+def fast_build_triplets(edge_index: np.ndarray, num_nodes: int,
+                        with_quads: bool):
+    """Native triplet/quad enumeration (triplets.cpp). Returns the same
+    tuple as triplets.build_triplets, or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cnt, fill = _tri_fns(lib)
+    esrc = np.ascontiguousarray(edge_index[0], np.int32)
+    edst = np.ascontiguousarray(edge_index[1], np.int32)
+    e = np.int32(esrc.shape[0])
+    counts = np.zeros(2, np.int64)
+    cnt(esrc, edst, e, np.int32(num_nodes), np.int32(with_quads), counts)
+    nt, nq = int(counts[0]), int(counts[1])
+    outs = [np.empty(nt, np.int32) for _ in range(5)]
+    q_trip = np.empty(nq if with_quads else 0, np.int32)
+    q_kn = np.empty(nq if with_quads else 0, np.int32)
+    fill(esrc, edst, e, np.int32(num_nodes), np.int32(with_quads),
+         *outs, q_trip, q_kn)
+    tri = tuple(outs)
+    if with_quads:
+        return tri + (q_trip, q_kn)
+    return tri
+
+
 def fast_build_batches(flat: FlatDataset, order: np.ndarray, batch_size: int,
                        n_pad: int, e_pad: int, g_pad: int):
     """Build all epoch batches at once. Returns dict of stacked numpy arrays

@@ -9,7 +9,9 @@ import threading
 from typing import Optional
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "batcher.cpp")
+_SRCS = [os.path.join(_HERE, "batcher.cpp"),
+         os.path.join(_HERE, "triplets.cpp")]
+_SRC = _SRCS[0]  # backwards-compat name
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -33,9 +35,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         so = _lib_path()
         try:
             if (not os.path.exists(so)
-                    or os.path.getmtime(so) < os.path.getmtime(_SRC)):
+                    or os.path.getmtime(so) < max(os.path.getmtime(s)
+                                                  for s in _SRCS)):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", so],
+                    ["g++", "-O3", "-shared", "-fPIC", *_SRCS, "-o", so],
                     check=True, capture_output=True,
                 )
             _LIB = ctypes.CDLL(so)

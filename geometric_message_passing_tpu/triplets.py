@@ -38,7 +38,21 @@ def _in_edges_by_node(edge_index: np.ndarray, num_nodes: int):
 
 def build_triplets(edge_index: np.ndarray, num_nodes: int,
                    with_quads: bool = False):
-    """Return (idx_i, idx_j, idx_k, idx_kj, idx_ji[, q_trip, q_kn]) numpy arrays."""
+    """Return (idx_i, idx_j, idx_k, idx_kj, idx_ji[, q_trip, q_kn]) numpy arrays.
+
+    Dispatches to the native C++ enumerator (native/triplets.cpp) when the
+    library is available; the Python loop below is the correctness twin
+    (equivalence tested in tests/test_native.py)."""
+    from .native.batch import fast_build_triplets
+
+    native = fast_build_triplets(np.asarray(edge_index), num_nodes, with_quads)
+    if native is not None:
+        return native
+    return _build_triplets_py(edge_index, num_nodes, with_quads)
+
+
+def _build_triplets_py(edge_index: np.ndarray, num_nodes: int,
+                       with_quads: bool = False):
     src, dst = edge_index
     in_edges = _in_edges_by_node(edge_index, num_nodes)
     idx_i, idx_j, idx_k, idx_kj, idx_ji = [], [], [], [], []
