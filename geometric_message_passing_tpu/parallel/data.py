@@ -34,6 +34,44 @@ def shard_batches(graphs: Sequence, num_shards: int, n_pad: int, e_pad: int,
     return jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
 
 
+def dp_train_step_autoshard(model, tx, mesh: Mesh, loss_fn: Callable,
+                            axis: str = "dp"):
+    """Auto-partitioned (pjit-style) data-parallel train step.
+
+    The alternative SPMD idiom to ``dp_train_step``'s explicit shard_map:
+    the step is written as the plain single-program math over ONE big
+    block-diagonal ``GraphBatch`` whose node/edge/graph axes are sharded over
+    the mesh via ``NamedSharding`` annotations, and XLA's SPMD partitioner
+    inserts the collectives (gather halos for cross-shard ``pos[senders]``,
+    the gradient all-reduce) itself — the "annotate shardings, let XLA do
+    the rest" recipe.  Exact same numerics as the single-device step.
+
+    Requires every batch leaf's leading axis divisible by the mesh size
+    (``pad_sizes`` bucket x n_dev; ``batch_graphs`` with scaled buckets).
+    """
+
+    def step(variables, opt_state, batch):
+        def loss_of(params):
+            vs = {**variables, "params": params}
+            pred, mutated = model.apply(
+                vs, batch, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            return loss_fn(pred, batch), mutated
+
+        (loss, mutated), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            variables["params"]
+        )
+        updates, opt_state = tx.update(grads, opt_state, variables["params"])
+        params = optax.apply_updates(variables["params"], updates)
+        return {**variables, "params": params, **mutated}, opt_state, loss
+
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(axis))   # shard every leaf's leading axis
+    return jax.jit(step, in_shardings=(rep, rep, shd),
+                   out_shardings=(rep, rep, rep))
+
+
 def dp_train_step(model, tx, mesh: Mesh, loss_fn: Callable,
                   axis: str = "dp"):
     """Build a jit-compiled data-parallel train step.
