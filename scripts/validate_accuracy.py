@@ -36,6 +36,14 @@ CONFIGS = [
     # reference runs.  fold/n_data/epochs mined from exp_history.json.
     ("spherenet", "star", 0.0735, ["--n_layers", "2", "--n_epochs", "200",
                                    "--fold", "5", "6", "7"]),
+    ("tfn",     "star", 0.0055, ["--n_layers", "4", "--n_epochs", "200",
+                                 "--fold", "5"]),
+    ("egnn",    "star", 0.0079, ["--n_layers", "4", "--n_epochs", "600",
+                                 "--fold", "8"]),
+    ("dimenet", "star", 0.0169, ["--n_layers", "4", "--n_epochs", "200",
+                                 "--fold", "7"]),
+    ("mace",    "star", 0.0482, ["--n_layers", "2", "--n_epochs", "200",
+                                 "--fold", "5", "6", "7"]),
     ("schnet",    "star", 0.7351, ["--n_layers", "4", "--n_epochs", "1200",
                                    "--fold", "3", "4", "5", "6", "7",
                                    "--n_data", "1400"]),
