@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -136,19 +136,29 @@ def _horner(coeffs, x):
     return acc
 
 
-def spherical_bessel_jl(l: int, x, small: float = 0.5):
-    """j_l via the closed form for x >= ``small``, and the ascending series
-    x^l/(2l+1)!! (1 - u/(2(2l+3)) + u^2/(8(2l+3)(2l+5))) below it.
+def spherical_bessel_jl(l: int, x, small: Optional[float] = None,
+                        series_terms: int = 12):
+    """j_l via the closed form for x >= ``small`` and the ascending
+    (alternating, entire) series x^l/(2l+1)!! sum_k (-x^2/2)^k / (k! (2l+3)
+    (2l+5)...(2l+2k+1)) below it.
 
-    The closed form's sin/cos cancellation divided by x^(l+1) explodes as
-    x -> 0 (pad edges have dist == 0: at l=6 the old eps-clamp produced
-    inf, which poisons gradients of every shared weight even though the
-    loss masks pad entries).  The series is accurate to ~3e-4 relative at
-    x=0.5 — tighter than the closed form's own f32 cancellation error
-    there — and exact at 0.  Double-where keeps both branches' gradients
-    finite.  Real (unpadded) evaluations satisfy x >= pi*d_min/c > 0.5, so
-    reference numerics (PyG sympy codegen, same closed form) are preserved
-    where the reference is defined."""
+    The closed form (s_l sin + x c_l cos)/x^(l+1) — the reference's own
+    sympy-codegen formula (spherenet_layer.py:260-293) — is catastrophically
+    cancellative in float32 at small x: the polynomial coefficients reach
+    (2l-1)!! while j_l ~ x^l/(2l+1)!!, so at l=6, x=1 no significant bits
+    survive (and at x -> 0 it overflows — pad edges have dist == 0, which
+    used to poison gradients of every shared weight even though the loss
+    masks pad entries).  The series' terms shrink monotonically for
+    x^2 < 2(2l+3), so it has NO cancellation there; with 12 terms it is
+    envelope-accurate (<3e-6 of max|j_l|) up to x ~ 7-8.6 for l <= 6, while
+    the f32 closed form only becomes envelope-accurate above x ~ 0.55*l
+    (both measured against float64 scipy).  The default per-l switch
+    min(1 + 0.8 l, 6.0) sits inside both validity windows.  Double-where
+    keeps both branches' gradients finite.  tests/test_reference_oracle.py
+    pins the result to the reference's formula evaluated in float64 (its
+    defined math, minus its float32 rounding)."""
+    if small is None:
+        small = min(1.0 + 0.8 * l, 6.0)
     s, c = _sph_bessel_poly(l)
     small_mask = x < small
     xs = jnp.where(small_mask, 1.0, x)
@@ -157,9 +167,12 @@ def spherical_bessel_jl(l: int, x, small: float = 0.5):
     closed = num / xs ** (l + 1)
     dfact = float(np.prod(np.arange(2 * l + 1, 0, -2)))   # (2l+1)!!
     v = x * x
-    series = (x ** l / dfact) * (
-        1.0 - v / (2 * (2 * l + 3)) + v * v / (8 * (2 * l + 3) * (2 * l + 5))
-    )
+    acc = jnp.ones_like(x)
+    term = jnp.ones_like(x)
+    for k in range(1, series_terms):
+        term = term * (-v) / (2 * k * (2 * l + 2 * k + 1))
+        acc = acc + term
+    series = (x ** l / dfact) * acc
     return jnp.where(small_mask, series, closed)
 
 
