@@ -38,23 +38,38 @@ class EGNNLayer(nn.Module):
     norm: str = "layer"
     aggr: str = "add"
 
-    @nn.compact
+    def setup(self):
+        # attribute names fix the param-tree keys (mlp_msg/mlp_pos/mlp_upd —
+        # identical to the earlier inline-named modules)
+        self.mlp_msg = MLP((self.emb_dim, self.emb_dim), self.activation,
+                           self.norm)
+        # NOTE: mlp_pos in the reference is Linear/Norm/Act/Linear (egnn_layer.py:37-39)
+        self.mlp_pos = MLP((self.emb_dim, 1), self.activation, self.norm,
+                           norm_final=False, act_final=False)
+        self.mlp_upd = MLP((self.emb_dim, self.emb_dim), self.activation,
+                           self.norm)
+
+    def message(self, h_i, h_j, dists, train: bool = False):
+        """Edge message (msg, pos scale) from gathered endpoint features —
+        exposed as a method so edge-partitioned execution
+        (parallel/halo.py::gp_egnn_layer) can run it over exchanged halos."""
+        msg = self.mlp_msg(jnp.concatenate([h_i, h_j, dists], -1), train=train)
+        scale = self.mlp_pos(msg, train=train)
+        return msg, scale
+
+    def update(self, h, msg_aggr, train: bool = False):
+        return self.mlp_upd(jnp.concatenate([h, msg_aggr], -1), train=train)
+
     def __call__(self, h, pos, senders, receivers, edge_mask, train: bool = False):
         num_nodes = h.shape[0]
         h_i, h_j = h[receivers], h[senders]           # i = target, j = source
         pos_diff = pos[receivers] - pos[senders]
         dists = safe_norm(pos_diff, axis=-1, keepdims=True)
-        msg = MLP((self.emb_dim, self.emb_dim), self.activation, self.norm,
-                  name="mlp_msg")(jnp.concatenate([h_i, h_j, dists], -1), train=train)
-        scale = MLP((self.emb_dim, 1), self.activation, self.norm,
-                    norm_final=False, act_final=False,
-                    name="mlp_pos")(msg, train=train)
-        # NOTE: mlp_pos in the reference is Linear/Norm/Act/Linear (egnn_layer.py:37-39)
+        msg, scale = self.message(h_i, h_j, dists, train=train)
         pos_msg = pos_diff * scale
         msg_aggr = _AGGR[self.aggr](msg, receivers, num_nodes, mask=edge_mask)
         pos_aggr = segment_mean(pos_msg, receivers, num_nodes, mask=edge_mask)
-        upd = MLP((self.emb_dim, self.emb_dim), self.activation, self.norm,
-                  name="mlp_upd")(jnp.concatenate([h, msg_aggr], -1), train=train)
+        upd = self.update(h, msg_aggr, train=train)
         return upd, pos + pos_aggr
 
 

@@ -255,3 +255,36 @@ def gp_edge_aggregate(
     msg = message_fn(h_all[receivers], h_all[senders])
     partial = segment_sum(msg, receivers, num_nodes_total, mask=edge_mask)
     return gp_scatter_nodes(partial, axis)
+
+
+def gp_egnn_layer(layer, variables, h_local, pos_local, plan_local,
+                  axis: str = "gp", train: bool = False):
+    """Edge-partitioned forward of a REAL model layer: one EGNNLayer over
+    the packed halo (node payload = [h, pos]; the scatter-mean denominator
+    for the position update rides the message as a count channel).
+
+    Semantics match the single-device layer exactly for aggr='sum'/'add'
+    (the model default): h' = update(h, sum_j msg), x' = x + mean_j pos_msg.
+    Equivalence is tested on a CPU mesh in tests/test_parallel.py.
+    """
+    from ..ops.norms import safe_norm
+
+    d = h_local.shape[-1]
+    payload = jnp.concatenate([h_local, pos_local], axis=-1)
+
+    def message_fn(tgt, src):
+        h_i, pos_i = tgt[..., :d], tgt[..., d:]
+        h_j, pos_j = src[..., :d], src[..., d:]
+        pos_diff = pos_i - pos_j
+        dists = safe_norm(pos_diff, axis=-1, keepdims=True)
+        msg, scale = layer.apply(variables, h_i, h_j, dists, train,
+                                 method="message")
+        return jnp.concatenate(
+            [msg, pos_diff * scale, jnp.ones_like(dists)], axis=-1)
+
+    agg = packed_halo_aggregate(payload, plan_local, message_fn, axis)
+    msg_aggr = agg[..., :-4]
+    cnt = jnp.maximum(agg[..., -1:], 1.0)        # segment_mean clamp
+    pos_aggr = agg[..., -4:-1] / cnt
+    upd = layer.apply(variables, h_local, msg_aggr, train, method="update")
+    return upd, pos_local + pos_aggr
