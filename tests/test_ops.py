@@ -138,3 +138,40 @@ class TestRadiusGraph:
         d[i] = np.inf
         nearest5 = set(np.argsort(d)[:5].tolist())
         assert set(nbrs.tolist()) == nearest5
+
+
+class TestRoofline:
+    """utils/roofline.py: XLA cost counters + roofline arithmetic."""
+
+    def test_matmul_counters(self):
+        import jax.numpy as jnp
+
+        from geometric_message_passing_tpu.utils.roofline import roofline
+
+        n = 256
+        a = jnp.ones((n, n), jnp.float32)
+
+        r = roofline(lambda x: x @ x, a, step_time_s=1e-3)
+        # XLA counts 2*n^3 flops for an n^3 matmul
+        assert abs(r.flops - 2 * n**3) / (2 * n**3) < 0.01
+        assert r.bytes_accessed >= 3 * n * n * 4 * 0.99
+        assert r.intensity > 1
+        assert r.achieved_tflops == r.flops / 1e-3
+        row = r.row()
+        assert row["static_bound"] in ("compute", "memory")
+        assert row["frac_of_roof"] > 0
+
+    def test_model_step_counters(self):
+        import jax
+
+        from geometric_message_passing_tpu import datasets as ds
+        from geometric_message_passing_tpu.graph import GraphLoader
+        from geometric_message_passing_tpu.models import EGNNModel
+        from geometric_message_passing_tpu.utils.roofline import roofline
+
+        graphs = ds.create_star_graphs(num=4, fold=[4], dim=3, seed=0)
+        batch = next(iter(GraphLoader(graphs, batch_size=4)))
+        model = EGNNModel(num_layers=2, emb_dim=16, in_dim=1, out_dim=1)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        r = roofline(lambda v, b: model.apply(v, b), variables, batch)
+        assert r.flops > 1e5 and r.bytes_accessed > 1e4
