@@ -48,14 +48,17 @@ def dp_train_step_autoshard(model, tx, mesh: Mesh, loss_fn: Callable,
 
     Requires every batch leaf's leading axis divisible by the mesh size
     (``pad_sizes`` bucket x n_dev; ``batch_graphs`` with scaled buckets).
+
+    The optional ``rng`` arg seeds dropout; thread a fresh per-step key
+    (e.g. ``jax.random.fold_in(base, step_no)``) for models with dropout.
     """
 
-    def step(variables, opt_state, batch):
+    def step(variables, opt_state, batch, rng):
         def loss_of(params):
             vs = {**variables, "params": params}
             pred, mutated = model.apply(
                 vs, batch, train=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.PRNGKey(0)},
+                rngs={"dropout": rng},
             )
             return loss_fn(pred, batch), mutated
 
@@ -68,28 +71,38 @@ def dp_train_step_autoshard(model, tx, mesh: Mesh, loss_fn: Callable,
 
     rep = NamedSharding(mesh, P())
     shd = NamedSharding(mesh, P(axis))   # shard every leaf's leading axis
-    return jax.jit(step, in_shardings=(rep, rep, shd),
-                   out_shardings=(rep, rep, rep))
+    jitted = jax.jit(step, in_shardings=(rep, rep, shd, rep),
+                     out_shardings=(rep, rep, rep))
+
+    def with_default_rng(variables, opt_state, batch, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return jitted(variables, opt_state, batch, rng)
+
+    return with_default_rng
 
 
 def dp_train_step(model, tx, mesh: Mesh, loss_fn: Callable,
                   axis: str = "dp"):
     """Build a jit-compiled data-parallel train step.
 
-    Returns step(variables, opt_state, sharded_batch) -> (variables,
-    opt_state, loss).  ``sharded_batch`` has a leading [dp] axis sharded over
-    the mesh; variables/opt_state are replicated.
+    Returns step(variables, opt_state, sharded_batch, rng=None) ->
+    (variables, opt_state, loss).  ``sharded_batch`` has a leading [dp] axis
+    sharded over the mesh; variables/opt_state are replicated.  ``rng`` seeds
+    dropout (folded with the device index so each shard draws its own mask);
+    thread a fresh per-step key for models with dropout.
     """
 
-    def per_device(variables, opt_state, batch):
+    def per_device(variables, opt_state, batch, rng):
         # batch arrives with the leading dp axis stripped to size 1
         batch = jax.tree.map(lambda x: x[0], batch)
+        rng = collectives.fold_in_axes(rng, axis)
 
         def loss_of(params):
             vs = {**variables, "params": params}
             pred, mutated = model.apply(
                 vs, batch, train=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.PRNGKey(0)},
+                rngs={"dropout": rng},
             )
             return loss_fn(pred, batch), mutated
 
@@ -108,8 +121,15 @@ def dp_train_step(model, tx, mesh: Mesh, loss_fn: Callable,
     shd = P(axis)
     mapped = shard_map(
         per_device, mesh=mesh,
-        in_specs=(rep, rep, shd),
+        in_specs=(rep, rep, shd, rep),
         out_specs=(rep, rep, rep),
         check_vma=False,
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def with_default_rng(variables, opt_state, batch, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return jitted(variables, opt_state, batch, rng)
+
+    return with_default_rng

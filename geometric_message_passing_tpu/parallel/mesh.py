@@ -58,6 +58,15 @@ class collectives:
     def axis_index(axis: str = "dp"):
         return jax.lax.axis_index(axis)
 
+    @staticmethod
+    def fold_in_axes(rng, *axes: str):
+        """Derive a per-device PRNG key by folding each mesh axis position
+        into ``rng`` — so e.g. dropout masks differ across shards instead of
+        repeating one mask mesh-wide."""
+        for ax in axes:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
+        return rng
+
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

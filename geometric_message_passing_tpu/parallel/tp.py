@@ -36,6 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..irreps import Irreps
 from ..nn.tensor_product import EdgeTensorProduct
+from .mesh import collectives
 
 
 def tp_local_model(model, tp_size: int, axis: str = "tp"):
@@ -150,16 +151,17 @@ def dp_tp_train_step(model, tx, mesh: Mesh, loss_fn,
     k = mesh.shape[tp_axis]
     local = tp_local_model(model, k, tp_axis)
 
-    def per_device(variables, opt_state, batch):
+    def per_device(variables, opt_state, batch, rng):
         variables = jax.tree.map(lambda x: x[0], variables)   # strip tp stack
         opt_state = jax.tree.map(lambda x: x[0], opt_state)
         batch = jax.tree.map(lambda x: x[0], batch)           # strip dp stack
+        rng = collectives.fold_in_axes(rng, dp_axis, tp_axis)
 
         def loss_of(params):
             vs = {**variables, "params": params}
             pred, mutated = local.apply(
                 vs, batch, train=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.PRNGKey(0)},
+                rngs={"dropout": rng},
             )
             # /k: the k tp shards compute the loss redundantly and SPMD AD
             # sums their identical cotangents through the tp psums (see
@@ -181,11 +183,18 @@ def dp_tp_train_step(model, tx, mesh: Mesh, loss_fn,
 
     mapped = shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(tp_axis), P(tp_axis), P(dp_axis)),
+        in_specs=(P(tp_axis), P(tp_axis), P(dp_axis), P()),
         out_specs=(P(tp_axis), P(tp_axis), P()),
         check_vma=False,
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def with_default_rng(variables, opt_state, batch, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return jitted(variables, opt_state, batch, rng)
+
+    return with_default_rng
 
 
 def tp_train_step(model, tx, mesh: Mesh, loss_fn, axis: str = "tp"):
@@ -195,15 +204,16 @@ def tp_train_step(model, tx, mesh: Mesh, loss_fn, axis: str = "tp"):
     k = mesh.shape[axis]
     local = tp_local_model(model, k, axis)
 
-    def per_device(variables, opt_state, batch):
+    def per_device(variables, opt_state, batch, rng):
         variables = jax.tree.map(lambda x: x[0], variables)
         opt_state = jax.tree.map(lambda x: x[0], opt_state)
+        rng = collectives.fold_in_axes(rng, axis)
 
         def loss_of(params):
             vs = {**variables, "params": params}
             pred, mutated = local.apply(
                 vs, batch, train=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.PRNGKey(0)},
+                rngs={"dropout": rng},
             )
             # the loss is computed redundantly on every shard; SPMD AD sums
             # the k identical cotangents through the psums, so differentiate
@@ -221,8 +231,15 @@ def tp_train_step(model, tx, mesh: Mesh, loss_fn, axis: str = "tp"):
 
     mapped = shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(axis), P(axis), P()),
+        in_specs=(P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P(axis), P()),
         check_vma=False,
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def with_default_rng(variables, opt_state, batch, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return jitted(variables, opt_state, batch, rng)
+
+    return with_default_rng

@@ -32,15 +32,23 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.flatten_util import ravel_pytree
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from .mesh import collectives
 
 
 def _flat_meta(params, n_shards: int):
+    dtypes = {leaf.dtype for leaf in jax.tree.leaves(params)}
+    if len(dtypes) > 1:
+        raise TypeError(
+            "ZeRO-1 requires a uniform parameter dtype: ravel_pytree would "
+            "silently promote a mixed tree and the optimizer would run in "
+            f"the promoted dtype; got {sorted(str(d) for d in dtypes)}"
+        )
     flat, unravel = ravel_pytree(params)
     size = flat.shape[0]
     chunk = -(-size // n_shards)           # ceil
@@ -48,36 +56,55 @@ def _flat_meta(params, n_shards: int):
     return unravel, size, chunk, padded, flat.dtype
 
 
-def zero_init(tx, params, n_shards: int):
+def zero_init(tx, params, n_shards: int, mesh: Mesh | None = None,
+              axis: str = "dp"):
     """Build the stacked sharded optimizer state: leading [dp] axis, each
-    row the optax state over one 1/N slice of the flat parameter vector."""
+    row the optax state over one 1/N slice of the flat parameter vector.
+
+    With ``mesh``, every leaf is created directly under a
+    ``NamedSharding(mesh, P(axis))`` — born sharded, so the full 2·|params|
+    state is never resident on any single device (the point of ZeRO-1).
+    Without it, the state is a plain stacked array (fine for tests)."""
     _, _, chunk, _, dtype = _flat_meta(params, n_shards)
     one = tx.init(jnp.zeros((chunk,), dtype))
-    return jax.tree.map(lambda x: jnp.stack([x] * n_shards), one)
+    if mesh is None:
+        return jax.tree.map(lambda x: jnp.stack([x] * n_shards), one)
+    sharding = NamedSharding(mesh, P(axis))
+
+    def born_sharded(x):
+        host = np.asarray(x)
+        full = np.broadcast_to(host[None], (n_shards,) + host.shape)  # a view
+        return jax.make_array_from_callback(
+            full.shape, sharding, lambda idx: np.ascontiguousarray(full[idx]))
+
+    return jax.tree.map(born_sharded, one)
 
 
 def zero_dp_train_step(model, tx, mesh: Mesh, loss_fn: Callable, params,
                        axis: str = "dp"):
     """Build a jit-compiled ZeRO-1 data-parallel train step.
 
-    Returns ``step(variables, opt_state, sharded_batch) -> (variables,
-    opt_state, loss)``.  ``opt_state`` must come from ``zero_init`` (leading
-    [dp] axis, sharded over the mesh); ``sharded_batch`` as for
-    ``dp_train_step``; variables replicated.  ``params`` is a template used
-    only for the flat layout (shapes/dtypes).
+    Returns ``step(variables, opt_state, sharded_batch, rng=None) ->
+    (variables, opt_state, loss)``.  ``opt_state`` must come from
+    ``zero_init`` (leading [dp] axis, sharded over the mesh);
+    ``sharded_batch`` as for ``dp_train_step``; variables replicated.
+    ``params`` is a template used only for the flat layout (shapes/dtypes).
+    ``rng`` seeds dropout (folded with the device index); thread a fresh
+    per-step key for models with dropout.
     """
     n_shards = mesh.shape[axis]
     unravel, size, chunk, padded, _ = _flat_meta(params, n_shards)
 
-    def per_device(variables, opt_state, batch):
+    def per_device(variables, opt_state, batch, rng):
         batch = jax.tree.map(lambda x: x[0], batch)
         opt_state = jax.tree.map(lambda x: x[0], opt_state)
+        rng = collectives.fold_in_axes(rng, axis)
 
         def loss_of(p):
             vs = {**variables, "params": p}
             pred, mutated = model.apply(
                 vs, batch, train=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.PRNGKey(0)},
+                rngs={"dropout": rng},
             )
             return loss_fn(pred, batch), mutated
 
@@ -111,8 +138,15 @@ def zero_dp_train_step(model, tx, mesh: Mesh, loss_fn: Callable, params,
 
     mapped = shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis)),
+        in_specs=(P(), P(axis), P(axis), P()),
         out_specs=(P(), P(axis), P()),
         check_vma=False,
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def with_default_rng(variables, opt_state, batch, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return jitted(variables, opt_state, batch, rng)
+
+    return with_default_rng

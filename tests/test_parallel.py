@@ -521,7 +521,7 @@ def test_zero_dp_matches_single_device():
     ref_params = variables["params"]
     ref_opt = tx.init(ref_params)
     for _ in range(2):
-        def loss_single(params, ref=ref_params):
+        def loss_single(params):
             pred = model.apply({**variables, "params": params}, big)
             return l1_sum_loss(pred, big)
         g_ref = jax.grad(loss_single)(ref_params)
@@ -529,7 +529,7 @@ def test_zero_dp_matches_single_device():
         ref_params = optax.apply_updates(ref_params, updates)
 
     sharded = shard_batches(graphs, n_dev, n_pad, e_pad, g_pad)
-    opt_state = zero_init(tx, variables["params"], n_dev)
+    opt_state = zero_init(tx, variables["params"], n_dev, mesh=mesh)
     # the sharded moments really are 1/N per chip
     from jax.flatten_util import ravel_pytree
     flat = ravel_pytree(variables["params"])[0]
