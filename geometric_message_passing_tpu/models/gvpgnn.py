@@ -7,19 +7,26 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..graph import GraphBatch
 from ..nn import gvp
+from ..ops.pallas_gvp import gvp_message_xla, make_gvp_message_fused
 from ..ops.radial import radial_embedding
-from ..ops.scatter import segment_mean, segment_sum
 from .pooling import POOL
 from ..ops.norms import safe_norm
 
 
 class GVPConv(nn.Module):
     """Message = GVP-chain over cat[(s_j,V_j), edge, (s_i,V_i)]; mean-aggregated
-    (gvp_layer.py:246-324)."""
+    (gvp_layer.py:246-324).
+
+    The whole edge pass (endpoint gathers -> 3-GVP chain -> masked segment
+    mean) runs as ONE fused Pallas launch per direction on TPU
+    (ops/pallas_gvp.py); the XLA twin carries CPU/tests.  Weights live as
+    flat per-chain-layer params (same shapes/initializers as the nn/gvp.py
+    module chain; equality is tested in test_pallas.py)."""
 
     node_dims: Tuple[int, int]
     edge_dims: Tuple[int, int]
@@ -28,35 +35,49 @@ class GVPConv(nn.Module):
     act_s: str = "relu"
     act_v: str = "sigmoid"
     vector_gate: bool = True
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask):
         s, v = x
+        es, ev = edge_attr
         num_nodes = s.shape[0]
-        msg_in = gvp.tuple_cat(
-            (s[senders], v[senders]), edge_attr, (s[receivers], v[receivers])
-        )
         si, vi = self.node_dims
         se, ve = self.edge_dims
         in_dims = (2 * si + se, 2 * vi + ve)
-        h = msg_in
         dims_chain = [in_dims] + [self.node_dims] * self.n_layers
+        lecun = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        ws = []
         for k in range(self.n_layers):
-            last = k == self.n_layers - 1
-            h = gvp.GVP(
-                dims_chain[k],
-                dims_chain[k + 1],
-                act_s=None if last else self.act_s,
-                act_v=None if last else self.act_v,
-                vector_gate=self.vector_gate,
-                name=f"gvp_{k}",
-            )(h)
-        ms, mv = h
-        agg = segment_mean if self.aggr == "mean" else segment_sum
-        return (
-            agg(ms, receivers, num_nodes, mask=edge_mask),
-            agg(mv, receivers, num_nodes, mask=edge_mask),
-        )
+            (sik, vik), (sok, vok) = dims_chain[k], dims_chain[k + 1]
+            hk = max(vik, vok)
+            Wh = self.param(f"gvp{k}_wh", lecun, (vik, hk))
+            Wv = self.param(f"gvp{k}_wv", lecun, (hk, vok))
+            Wsm = self.param(f"gvp{k}_ws", lecun, (sik + hk, sok))
+            bs = self.param(f"gvp{k}_bs", zeros, (sok,))
+            Wsv = self.param(f"gvp{k}_wsv", lecun, (sok, vok))
+            bsv = self.param(f"gvp{k}_bsv", zeros, (vok,))
+            ws += [Wh, Wv, Wsm, bs[None], Wsv, bsv[None]]
+
+        assert self.aggr == "mean" and self.vector_gate and \
+            self.act_s == "relu" and self.act_v == "sigmoid", (
+                "fused GVPConv implements the reference defaults")
+        vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+        evx, evy, evz = ev[..., 0], ev[..., 1], ev[..., 2]
+        if self.use_pallas and jax.default_backend() != "cpu":
+            fused = make_gvp_message_fused(None, n_layers=self.n_layers)
+            out = fused(senders, receivers, edge_mask, s, vx, vy, vz,
+                        es, evx, evy, evz, *ws)
+        else:
+            out = gvp_message_xla(senders, receivers, edge_mask, s,
+                                  vx, vy, vz, es, evx, evy, evz, ws,
+                                  self.n_layers)
+        ssum, sx, sy, sz, cnt = out
+        cnt = jnp.maximum(cnt, 1.0)
+        ms = ssum / cnt
+        mv = jnp.stack([sx / cnt, sy / cnt, sz / cnt], axis=-1)
+        return ms, mv
 
 
 class GVPConvLayer(nn.Module):

@@ -151,3 +151,158 @@ def test_edge_weighted_contract_matches_xla():
             np.asarray(gk[1].astype(jnp.float32)),
             np.asarray(gx[1].astype(jnp.float32)),
             atol=(2e-5 if wdtype == jnp.float32 else 3e-2) * scale)
+
+
+# ---------------------------------------------------------------------------
+# Fused GVP conv (ops/pallas_gvp.py)
+# ---------------------------------------------------------------------------
+
+
+def _gvp_rand_inputs(rng, n, e, node_dims, edge_dims):
+    si, vi = node_dims
+    se, ve = edge_dims
+    s = jnp.asarray(rng.normal(size=(n, si)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n, vi, 3)).astype(np.float32))
+    es = jnp.asarray(rng.normal(size=(e, se)).astype(np.float32))
+    ev = jnp.asarray(rng.normal(size=(e, ve, 3)).astype(np.float32))
+    send = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    recv = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    emask = jnp.asarray(rng.random(e) > 0.15)
+    return s, v, es, ev, send, recv, emask
+
+
+def _gvp_chain_weights(rng, node_dims, edge_dims, n_layers):
+    """Random weights in the fused flat order; also returns the nn/gvp.py
+    module param tree they map to."""
+    si, vi = node_dims
+    se, ve = edge_dims
+    dims_chain = [(2 * si + se, 2 * vi + ve)] + [node_dims] * n_layers
+    ws, tree = [], {}
+    for k in range(n_layers):
+        (sik, vik), (sok, vok) = dims_chain[k], dims_chain[k + 1]
+        hk = max(vik, vok)
+        Wh = rng.normal(size=(vik, hk)).astype(np.float32) * 0.2
+        Wv = rng.normal(size=(hk, vok)).astype(np.float32) * 0.2
+        Ws = rng.normal(size=(sik + hk, sok)).astype(np.float32) * 0.1
+        bs = rng.normal(size=(sok,)).astype(np.float32) * 0.1
+        Wsv = rng.normal(size=(sok, vok)).astype(np.float32) * 0.1
+        bsv = rng.normal(size=(vok,)).astype(np.float32) * 0.1
+        ws += [jnp.asarray(Wh), jnp.asarray(Wv), jnp.asarray(Ws),
+               jnp.asarray(bs)[None], jnp.asarray(Wsv),
+               jnp.asarray(bsv)[None]]
+        tree[f"gvp_{k}"] = {
+            "wh": {"kernel": Wh},
+            "wv": {"kernel": Wv},
+            "ws": {"kernel": Ws, "bias": bs},
+            "wsv": {"kernel": Wsv, "bias": bsv},
+        }
+    return ws, tree
+
+
+def test_gvp_twin_matches_module_chain():
+    """gvp_message_xla == the nn/gvp.py GVP-module chain + segment_mean
+    (the original GVPConv formulation), given mapped weights."""
+    import flax.linen as nn
+
+    from geometric_message_passing_tpu.nn import gvp
+    from geometric_message_passing_tpu.ops.pallas_gvp import gvp_message_xla
+    from geometric_message_passing_tpu.ops.scatter import segment_mean
+
+    rng = np.random.default_rng(4)
+    n, e = 30, 100
+    node_dims, edge_dims = (24, 8), (6, 1)
+    n_layers = 3
+    s, v, es, ev, send, recv, emask = _gvp_rand_inputs(
+        rng, n, e, node_dims, edge_dims)
+    ws, tree = _gvp_chain_weights(rng, node_dims, edge_dims, n_layers)
+
+    class RefChain(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            in_dims = (2 * node_dims[0] + edge_dims[0],
+                       2 * node_dims[1] + edge_dims[1])
+            dims_chain = [in_dims] + [node_dims] * n_layers
+            h = x
+            for k in range(n_layers):
+                last = k == n_layers - 1
+                h = gvp.GVP(dims_chain[k], dims_chain[k + 1],
+                            act_s=None if last else "relu",
+                            act_v=None if last else "sigmoid",
+                            vector_gate=True, name=f"gvp_{k}")(h)
+            return h
+
+    msg_in = gvp.tuple_cat((s[send], v[send]), (es, ev), (s[recv], v[recv]))
+    ms_ref, mv_ref = RefChain().apply({"params": tree}, msg_in)
+    out_s_ref = segment_mean(ms_ref, recv, n, mask=emask)
+    out_v_ref = segment_mean(mv_ref, recv, n, mask=emask)
+
+    ssum, sx, sy, sz, cnt = gvp_message_xla(
+        send, recv, emask, s, v[..., 0], v[..., 1], v[..., 2],
+        es, ev[..., 0], ev[..., 1], ev[..., 2], ws, n_layers)
+    cnt = jnp.maximum(cnt, 1.0)
+    out_s = ssum / cnt
+    out_v = jnp.stack([sx / cnt, sy / cnt, sz / cnt], axis=-1)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_s_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_v_ref),
+                               atol=2e-5)
+
+
+def test_gvp_fused_matches_xla_twin():
+    from geometric_message_passing_tpu.ops.pallas_gvp import (
+        gvp_message_xla, make_gvp_message_fused)
+
+    rng = np.random.default_rng(5)
+    n, e = 40, 150   # e not a block multiple -> exercises padding
+    node_dims, edge_dims = (16, 4), (8, 1)
+    n_layers = 3
+    s, v, es, ev, send, recv, emask = _gvp_rand_inputs(
+        rng, n, e, node_dims, edge_dims)
+    ws, _ = _gvp_chain_weights(rng, node_dims, edge_dims, n_layers)
+    fused = make_gvp_message_fused(None, n_layers=n_layers, interpret=True)
+    out_p = fused(send, recv, emask, s, v[..., 0], v[..., 1], v[..., 2],
+                  es, ev[..., 0], ev[..., 1], ev[..., 2], *ws)
+    out_x = gvp_message_xla(send, recv, emask, s, v[..., 0], v[..., 1],
+                            v[..., 2], es, ev[..., 0], ev[..., 1],
+                            ev[..., 2], ws, n_layers)
+    for a, b, name in zip(out_p, out_x, ("s", "vx", "vy", "vz", "cnt")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg=name)
+
+
+def test_gvp_fused_pallas_backward_matches_twin_grads():
+    """The fused backward (vjp-inside-the-kernel) == autodiff of the twin,
+    for node features, edge attrs and every weight."""
+    from geometric_message_passing_tpu.ops.pallas_gvp import (
+        gvp_message_xla, make_gvp_message_fused)
+
+    rng = np.random.default_rng(6)
+    n, e = 20, 70
+    node_dims, edge_dims = (12, 4), (6, 1)
+    n_layers = 3
+    s, v, es, ev, send, recv, emask = _gvp_rand_inputs(
+        rng, n, e, node_dims, edge_dims)
+    ws, _ = _gvp_chain_weights(rng, node_dims, edge_dims, n_layers)
+    fused = make_gvp_message_fused(None, n_layers=n_layers, interpret=True,
+                                   pallas_bwd=True)
+    cot = [jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+           for d in (node_dims[0],) + (node_dims[1],) * 3]
+
+    def loss(fn):
+        def inner(s_, es_, ev_, *ws_):
+            out = fn(send, recv, emask, s_, v[..., 0], v[..., 1], v[..., 2],
+                     es_, ev_[..., 0], ev_[..., 1], ev_[..., 2], *ws_)
+            return (sum(jnp.sum(o * c) for o, c in zip(out[:4], cot))
+                    + jnp.sum(out[4]))
+        return inner
+
+    twin = lambda *args: gvp_message_xla(*args[:11], list(args[11:]),
+                                         n_layers)
+    g1 = jax.grad(loss(fused), argnums=tuple(range(3 + len(ws))))(
+        s, es, ev, *ws)
+    g2 = jax.grad(loss(twin), argnums=tuple(range(3 + len(ws))))(
+        s, es, ev, *ws)
+    for i, (a, b) in enumerate(zip(g1, g2)):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * scale, err_msg=f"arg {i}")
