@@ -60,7 +60,7 @@ class GVPConv(nn.Module):
             bsv = self.param(f"gvp{k}_bsv", zeros, (vok,))
             ws += [Wh, Wv, Wsm, bs[None], Wsv, bsv[None]]
 
-        assert self.aggr == "mean" and self.vector_gate and \
+        assert self.aggr in ("mean", "add") and self.vector_gate and \
             self.act_s == "relu" and self.act_v == "sigmoid", (
                 "fused GVPConv implements the reference defaults")
         vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
@@ -74,10 +74,10 @@ class GVPConv(nn.Module):
                                   vx, vy, vz, es, evx, evy, evz, ws,
                                   self.n_layers)
         ssum, sx, sy, sz, cnt = out
-        cnt = jnp.maximum(cnt, 1.0)
-        ms = ssum / cnt
-        mv = jnp.stack([sx / cnt, sy / cnt, sz / cnt], axis=-1)
-        return ms, mv
+        if self.aggr == "mean":
+            cnt = jnp.maximum(cnt, 1.0)
+            ssum, sx, sy, sz = ssum / cnt, sx / cnt, sy / cnt, sz / cnt
+        return ssum, jnp.stack([sx, sy, sz], axis=-1)
 
 
 class GVPConvLayer(nn.Module):
@@ -95,12 +95,35 @@ class GVPConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask,
-                 train: bool = False):
-        dh = GVPConv(
+                 train: bool = False, autoregressive_x=None,
+                 node_mask=None):
+        """``autoregressive_x``: if given, messages on backward edges
+        (src >= dst) are formed from these embeddings instead of ``x``, with
+        add-aggregation normalized by the total degree — the decoder mode of
+        gvp_layer.py:386-423.  ``node_mask``: only update the masked nodes
+        (gvp_layer.py:427-437), via jnp.where (static shapes)."""
+        conv = GVPConv(
             self.node_dims, self.edge_dims, self.n_message,
-            aggr="mean", act_s=self.act_s, act_v=self.act_v,
+            aggr="add" if autoregressive_x is not None else "mean",
+            act_s=self.act_s, act_v=self.act_v,
             vector_gate=self.vector_gate, name="conv",
-        )(x, senders, receivers, edge_attr, edge_mask)
+        )
+        if autoregressive_x is not None:
+            forward = senders < receivers
+            dh_f = conv(x, senders, receivers, edge_attr,
+                        edge_mask & forward)
+            dh_b = conv(autoregressive_x, senders, receivers, edge_attr,
+                        edge_mask & ~forward)
+            from ..ops.scatter import segment_sum
+            count = jnp.maximum(
+                segment_sum(jnp.ones((senders.shape[0], 1), x[0].dtype),
+                            receivers, x[0].shape[0], mask=edge_mask),
+                1.0)
+            dh = ((dh_f[0] + dh_b[0]) / count,
+                  (dh_f[1] + dh_b[1]) / count[..., None])
+        else:
+            dh = conv(x, senders, receivers, edge_attr, edge_mask)
+        x_old = x
         drop0 = gvp.GVPDropout(self.drop_rate, name="drop0")
         drop1 = gvp.GVPDropout(self.drop_rate, name="drop1")
         norm0 = gvp.GVPLayerNorm(self.node_dims, name="norm0")
@@ -127,6 +150,9 @@ class GVPConvLayer(nn.Module):
             x = norm1(gvp.tuple_sum(x, drop1(h, deterministic=not train)))
         else:
             x = h
+        if node_mask is not None:
+            x = (jnp.where(node_mask[:, None], x[0], x_old[0]),
+                 jnp.where(node_mask[:, None, None], x[1], x_old[1]))
         return x
 
 

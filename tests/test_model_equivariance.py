@@ -181,3 +181,53 @@ def test_tfn_equivariant_features():
     assert np.allclose(out1[nm], out0[nm] @ D.T, atol=1e-3), (
         np.abs(out1[nm] - out0[nm] @ D.T).max()
     )
+
+
+def test_gvp_autoregressive_and_node_mask_modes():
+    """GVPConvLayer decoder modes (gvp_layer.py:386-437):
+    - autoregressive_x == x must reproduce the plain mean-aggregated path
+      exactly (add-aggregation over fwd+bwd edge splits / total degree),
+    - node_mask freezes unmasked nodes."""
+    from geometric_message_passing_tpu.models.gvpgnn import GVPConvLayer
+
+    batch = make_batch(seed=3)
+    rng = np.random.default_rng(7)
+    n = batch.pos.shape[0]
+    e = batch.senders.shape[0]
+    node_dims, edge_dims = (16, 4), (8, 1)
+    s = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n, 4, 3)).astype(np.float32))
+    es = jnp.asarray(rng.normal(size=(e, 8)).astype(np.float32))
+    ev = jnp.asarray(rng.normal(size=(e, 1, 3)).astype(np.float32))
+
+    layer = GVPConvLayer(node_dims, edge_dims)
+    variables = layer.init(jax.random.PRNGKey(0), (s, v), batch.senders,
+                           batch.receivers, (es, ev), batch.edge_mask)
+    plain = layer.apply(variables, (s, v), batch.senders, batch.receivers,
+                        (es, ev), batch.edge_mask)
+    auto = layer.apply(variables, (s, v), batch.senders, batch.receivers,
+                       (es, ev), batch.edge_mask,
+                       autoregressive_x=(s, v))
+    np.testing.assert_allclose(np.asarray(auto[0]), np.asarray(plain[0]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(auto[1]), np.asarray(plain[1]),
+                               atol=2e-5)
+
+    # distinct autoregressive embeddings change the result
+    other = layer.apply(variables, (s, v), batch.senders, batch.receivers,
+                        (es, ev), batch.edge_mask,
+                        autoregressive_x=(s * 2.0, v * 0.5))
+    assert not np.allclose(np.asarray(other[0]), np.asarray(plain[0]),
+                           atol=1e-3)
+
+    node_mask = jnp.asarray(rng.random(n) > 0.5)
+    masked = layer.apply(variables, (s, v), batch.senders, batch.receivers,
+                         (es, ev), batch.edge_mask, node_mask=node_mask)
+    keep = ~np.asarray(node_mask)
+    np.testing.assert_array_equal(np.asarray(masked[0])[keep],
+                                  np.asarray(s)[keep])
+    np.testing.assert_array_equal(np.asarray(masked[1])[keep],
+                                  np.asarray(v)[keep])
+    upd = np.asarray(node_mask)
+    np.testing.assert_allclose(np.asarray(masked[0])[upd],
+                               np.asarray(plain[0])[upd], atol=2e-5)
