@@ -14,10 +14,15 @@ from __future__ import annotations
 import math
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..graph import GraphBatch
+# torch_linear_*: torch.nn.Linear default inits — where the reference
+# leaves layers on torch defaults (SphereNet init.lin_rbf_0/init.lin,
+# spherenet_layer.py:84-88; update_v.lin_up bias, :202,210)
+from ..nn.basic import torch_linear_bias_init, torch_linear_kernel_init
 from ..ops.dimenet_basis import AngleEmb, DistEmb
 from ..ops.scatter import segment_sum
 from .pooling import POOL
@@ -36,6 +41,7 @@ def glorot_orthogonal(scale: float = 2.0):
 
 def swish(x):
     return x * nn.sigmoid(x)
+
 
 
 class ResidualLayer(nn.Module):
@@ -62,9 +68,15 @@ class EmbeddingBlock(nn.Module):
         )
         # torch init uniform(-sqrt3, sqrt3); flax uniform is [0, scale) — shift
         x = emb(atoms) - math.sqrt(3)
-        rbf0 = swish(nn.Dense(self.hidden)(rbf))
+        # PyG EmbeddingBlock.reset_parameters leaves lin_rbf and lin on
+        # torch.nn.Linear defaults (only the embedding is re-initialized)
+        rbf0 = swish(nn.Dense(
+            self.hidden, kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(rbf.shape[-1]))(rbf))
         cat = jnp.concatenate([x[receivers], x[senders], rbf0], axis=-1)
-        return swish(nn.Dense(self.hidden, kernel_init=glorot_orthogonal())(cat))
+        return swish(nn.Dense(
+            self.hidden, kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(3 * self.hidden))(cat))
 
 
 class InteractionPPBlock(nn.Module):

@@ -15,7 +15,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..graph import GraphBatch
-from ..nn.basic import ACT, MLP
+from ..nn.basic import (ACT, MLP, torch_linear_bias_init,
+                        torch_linear_kernel_init)
 from ..ops.scatter import segment_max, segment_mean, segment_sum
 from .pooling import POOL
 from ..ops.norms import safe_norm
@@ -41,13 +42,15 @@ class EGNNLayer(nn.Module):
     def setup(self):
         # attribute names fix the param-tree keys (mlp_msg/mlp_pos/mlp_upd —
         # identical to the earlier inline-named modules)
+        # torch_init: the reference builds these with raw torch.nn.Linear
+        # (egnn_layer.py:28-48) and never re-initializes them
         self.mlp_msg = MLP((self.emb_dim, self.emb_dim), self.activation,
-                           self.norm)
+                           self.norm, torch_init=True)
         # NOTE: mlp_pos in the reference is Linear/Norm/Act/Linear (egnn_layer.py:37-39)
         self.mlp_pos = MLP((self.emb_dim, 1), self.activation, self.norm,
-                           norm_final=False, act_final=False)
+                           norm_final=False, act_final=False, torch_init=True)
         self.mlp_upd = MLP((self.emb_dim, self.emb_dim), self.activation,
-                           self.norm)
+                           self.norm, torch_init=True)
 
     def message(self, h_i, h_j, dists, train: bool = False):
         """Edge message (msg, pos scale) from gathered endpoint features —
@@ -89,7 +92,9 @@ class EGNNModel(nn.Module):
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
-        h = nn.Embed(self.in_dim, self.emb_dim, name="emb_in")(batch.atoms)
+        h = nn.Embed(self.in_dim, self.emb_dim,
+                     embedding_init=nn.initializers.normal(1.0),  # torch Embedding default
+                     name="emb_in")(batch.atoms)
         pos = batch.pos
         for i in range(self.num_layers):
             h_update, pos_update = EGNNLayer(
@@ -100,11 +105,16 @@ class EGNNModel(nn.Module):
             pos = pos_update  # non-residual position update (egnn.py:79)
         if self.equivariant_pred:
             out = POOL[self.pool](jnp.concatenate([h, pos], -1), batch)
-            return nn.Dense(self.out_dim, name="pred")(out)
+            return nn.Dense(
+                self.out_dim, kernel_init=torch_linear_kernel_init,
+                bias_init=torch_linear_bias_init(out.shape[-1]),
+                name="pred")(out)
         out = POOL[self.pool](h, batch)
-        out = nn.Dense(self.emb_dim)(out)
+        out = nn.Dense(self.emb_dim, kernel_init=torch_linear_kernel_init,
+                       bias_init=torch_linear_bias_init(self.emb_dim))(out)
         out = nn.relu(out)
-        return nn.Dense(self.out_dim)(out)
+        return nn.Dense(self.out_dim, kernel_init=torch_linear_kernel_init,
+                        bias_init=torch_linear_bias_init(self.emb_dim))(out)
 
 
 class MPNNLayer(nn.Module):
@@ -119,11 +129,12 @@ class MPNNLayer(nn.Module):
     def __call__(self, h, senders, receivers, edge_mask, train: bool = False):
         num_nodes = h.shape[0]
         msg = MLP((self.emb_dim, self.emb_dim), self.activation, self.norm,
-                  name="mlp_msg")(
+                  torch_init=True, name="mlp_msg")(
             jnp.concatenate([h[receivers], h[senders]], -1), train=train
         )
         msg_aggr = _AGGR[self.aggr](msg, receivers, num_nodes, mask=edge_mask)
         return MLP((self.emb_dim, self.emb_dim), self.activation, self.norm,
+                   torch_init=True,
                    name="mlp_upd")(jnp.concatenate([h, msg_aggr], -1), train=train)
 
 
@@ -142,7 +153,9 @@ class MPNNModel(nn.Module):
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
-        h = nn.Embed(self.in_dim, self.emb_dim, name="emb_in")(batch.atoms)
+        h = nn.Embed(self.in_dim, self.emb_dim,
+                     embedding_init=nn.initializers.normal(1.0),  # torch Embedding default
+                     name="emb_in")(batch.atoms)
         for i in range(self.num_layers):
             h_update = MPNNLayer(
                 self.emb_dim, self.activation, self.norm, self.aggr,
@@ -150,6 +163,8 @@ class MPNNModel(nn.Module):
             )(h, batch.senders, batch.receivers, batch.edge_mask, train)
             h = h + h_update if self.residual else h_update
         out = POOL[self.pool](h, batch)
-        out = nn.Dense(self.emb_dim)(out)
+        out = nn.Dense(self.emb_dim, kernel_init=torch_linear_kernel_init,
+                       bias_init=torch_linear_bias_init(self.emb_dim))(out)
         out = nn.relu(out)
-        return nn.Dense(self.out_dim)(out)
+        return nn.Dense(self.out_dim, kernel_init=torch_linear_kernel_init,
+                        bias_init=torch_linear_bias_init(self.emb_dim))(out)

@@ -33,21 +33,25 @@ class FusedEGNNLayer(nn.Module):
                  train: bool = False):
         d = self.emb_dim
         zeros, ones = nn.initializers.zeros, nn.initializers.ones
-        lecun = nn.initializers.lecun_normal()
-        W1 = self.param("msg_w1", lecun, (2 * d + 1, d))
-        b1 = self.param("msg_b1", zeros, (d,))
+        # torch.nn.Linear default inits, matching models/egnn.py::EGNNLayer
+        from ..nn.basic import (torch_linear_bias_init,
+                                torch_linear_kernel_init)
+        ki = torch_linear_kernel_init
+        bi = torch_linear_bias_init
+        W1 = self.param("msg_w1", ki, (2 * d + 1, d))
+        b1 = self.param("msg_b1", bi(2 * d + 1), (d,))
         g1 = self.param("msg_ln1_scale", ones, (d,))
         B1 = self.param("msg_ln1_bias", zeros, (d,))
-        W2 = self.param("msg_w2", lecun, (d, d))
-        b2 = self.param("msg_b2", zeros, (d,))
+        W2 = self.param("msg_w2", ki, (d, d))
+        b2 = self.param("msg_b2", bi(d), (d,))
         g2 = self.param("msg_ln2_scale", ones, (d,))
         B2 = self.param("msg_ln2_bias", zeros, (d,))
-        P1 = self.param("pos_w1", lecun, (d, d))
-        pb1 = self.param("pos_b1", zeros, (d,))
+        P1 = self.param("pos_w1", ki, (d, d))
+        pb1 = self.param("pos_b1", bi(d), (d,))
         pg1 = self.param("pos_ln1_scale", ones, (d,))
         pB1 = self.param("pos_ln1_bias", zeros, (d,))
-        P2 = self.param("pos_w2", lecun, (d, 1))
-        pb2 = self.param("pos_b2", zeros, (1,))
+        P2 = self.param("pos_w2", ki, (d, 1))
+        pb2 = self.param("pos_b2", bi(d), (1,))
 
         pb2_row = jnp.zeros((1, d), jnp.float32).at[0, 0].set(pb2[0])
         packed = jnp.concatenate(
@@ -94,7 +98,9 @@ class EGNNFusedModel(nn.Module):
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
-        h = nn.Embed(self.in_dim, self.emb_dim, name="emb_in")(batch.atoms)
+        h = nn.Embed(self.in_dim, self.emb_dim,
+                     embedding_init=nn.initializers.normal(1.0),  # torch Embedding default
+                     name="emb_in")(batch.atoms)
         pos = batch.pos
         for i in range(self.num_layers):
             h_update, pos_update = FusedEGNNLayer(

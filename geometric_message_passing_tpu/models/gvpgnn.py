@@ -12,6 +12,8 @@ import jax.numpy as jnp
 
 from ..graph import GraphBatch
 from ..nn import gvp
+from ..nn.basic import (torch_linear_bias_init,
+                        torch_linear_kernel_init)
 from ..ops.pallas_gvp import gvp_message_xla, make_gvp_message_fused
 from ..ops.radial import radial_embedding
 from .pooling import POOL
@@ -46,18 +48,19 @@ class GVPConv(nn.Module):
         se, ve = self.edge_dims
         in_dims = (2 * si + se, 2 * vi + ve)
         dims_chain = [in_dims] + [self.node_dims] * self.n_layers
-        lecun = nn.initializers.lecun_normal()
-        zeros = nn.initializers.zeros
+        # torch.nn.Linear default inits, matching nn/gvp.py::GVP
+        ki = torch_linear_kernel_init
+        bi = torch_linear_bias_init
         ws = []
         for k in range(self.n_layers):
             (sik, vik), (sok, vok) = dims_chain[k], dims_chain[k + 1]
             hk = max(vik, vok)
-            Wh = self.param(f"gvp{k}_wh", lecun, (vik, hk))
-            Wv = self.param(f"gvp{k}_wv", lecun, (hk, vok))
-            Wsm = self.param(f"gvp{k}_ws", lecun, (sik + hk, sok))
-            bs = self.param(f"gvp{k}_bs", zeros, (sok,))
-            Wsv = self.param(f"gvp{k}_wsv", lecun, (sok, vok))
-            bsv = self.param(f"gvp{k}_bsv", zeros, (vok,))
+            Wh = self.param(f"gvp{k}_wh", ki, (vik, hk))
+            Wv = self.param(f"gvp{k}_wv", ki, (hk, vok))
+            Wsm = self.param(f"gvp{k}_ws", ki, (sik + hk, sok))
+            bs = self.param(f"gvp{k}_bs", bi(sik + hk), (sok,))
+            Wsv = self.param(f"gvp{k}_wsv", ki, (sok, vok))
+            bsv = self.param(f"gvp{k}_bsv", bi(sok), (vok,))
             ws += [Wh, Wv, Wsm, bs[None], Wsv, bsv[None]]
 
         assert self.aggr in ("mean", "add") and self.vector_gate and \
@@ -178,7 +181,9 @@ class GVPGNNModel(nn.Module):
         vectors = batch.pos[batch.senders] - batch.pos[batch.receivers]
         lengths = safe_norm(vectors, axis=-1, keepdims=True)
 
-        h_s = nn.Embed(self.in_dim, self.s_dim, name="emb_in")(batch.atoms)
+        h_s = nn.Embed(self.in_dim, self.s_dim,
+                       embedding_init=nn.initializers.normal(1.0),  # torch Embedding default
+                       name="emb_in")(batch.atoms)
         edge_s = radial_embedding(
             lengths, self.r_max, self.num_bessel, self.num_polynomial_cutoff
         )
@@ -205,9 +210,16 @@ class GVPGNNModel(nn.Module):
             )(h_V, batch.senders, batch.receivers, h_E, batch.edge_mask, train)
 
         out = POOL[self.pool](gvp.merge(*h_V), batch)
+        # reference readout = raw torch Sequential(Linear, ReLU, Linear)
+        # (gvpgnn.py:92-101)
         if not self.equivariant_pred:
             out = out[:, : self.s_dim]
-            out = nn.Dense(self.s_dim)(out)
+            out = nn.Dense(self.s_dim, kernel_init=torch_linear_kernel_init,
+                           bias_init=torch_linear_bias_init(self.s_dim))(out)
             out = nn.relu(out)
-            return nn.Dense(self.out_dim)(out)
-        return nn.Dense(self.out_dim, name="pred")(out)
+            return nn.Dense(self.out_dim,
+                            kernel_init=torch_linear_kernel_init,
+                            bias_init=torch_linear_bias_init(self.s_dim))(out)
+        return nn.Dense(self.out_dim, kernel_init=torch_linear_kernel_init,
+                        bias_init=torch_linear_bias_init(out.shape[-1]),
+                        name="pred")(out)

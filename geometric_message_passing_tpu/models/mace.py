@@ -14,6 +14,7 @@ from ..nn.conv import EquivariantProductBasisBlock, TensorProductConvLayer
 from ..nn.equivariant import pad_to_irreps, reshape_irreps
 from ..ops.radial import radial_embedding
 from ..ops.spherical import spherical_harmonics
+from ..nn.basic import torch_linear_bias_init, torch_linear_kernel_init
 from .pooling import POOL
 from ..ops.norms import safe_norm
 
@@ -55,7 +56,9 @@ class MACEModel(nn.Module):
             if self.hidden_irreps is not None
             else (sh_irreps * self.emb_dim).sort().simplify()
         )
-        h = nn.Embed(self.in_dim, self.emb_dim, name="emb_in")(batch.atoms)
+        h = nn.Embed(self.in_dim, self.emb_dim,
+                     embedding_init=nn.initializers.normal(1.0),  # torch Embedding default
+                     name="emb_in")(batch.atoms)
 
         vectors = batch.pos[batch.senders] - batch.pos[batch.receivers]
         lengths = safe_norm(vectors, axis=-1, keepdims=True)
@@ -109,7 +112,13 @@ class MACEModel(nn.Module):
                                     name="pred")(out)
         if not self.equivariant_pred:
             out = out[:, : self.emb_dim]  # scalar slice (mace.py:188)
-            out = nn.Dense(self.emb_dim)(out)
+            # reference readout = raw torch Sequential(Linear, ReLU, Linear)
+            out = nn.Dense(self.emb_dim, kernel_init=torch_linear_kernel_init,
+                           bias_init=torch_linear_bias_init(self.emb_dim))(out)
             out = nn.relu(out)
-            return nn.Dense(self.out_dim)(out)
-        return nn.Dense(self.out_dim, name="pred")(out)
+            return nn.Dense(self.out_dim,
+                            kernel_init=torch_linear_kernel_init,
+                            bias_init=torch_linear_bias_init(self.emb_dim))(out)
+        return nn.Dense(self.out_dim, kernel_init=torch_linear_kernel_init,
+                        bias_init=torch_linear_bias_init(out.shape[-1]),
+                        name="pred")(out)

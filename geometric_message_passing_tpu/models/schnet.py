@@ -35,19 +35,22 @@ class SchNetInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, h, senders, receivers, edge_weight, edge_attr, edge_mask):
+        # PyG InteractionBlock/CFConv.reset_parameters: xavier_uniform on
+        # every Linear, zero biases (the flax default)
+        xavier = nn.initializers.xavier_uniform()
         num_nodes = h.shape[0]
-        W = nn.Dense(self.num_filters)(edge_attr)
+        W = nn.Dense(self.num_filters, kernel_init=xavier)(edge_attr)
         W = shifted_softplus(W)
-        W = nn.Dense(self.num_filters)(W)
+        W = nn.Dense(self.num_filters, kernel_init=xavier)(W)
         C = 0.5 * (jnp.cos(edge_weight * math.pi / self.cutoff) + 1.0)
         C = C * (edge_weight < self.cutoff)
         W = W * C[:, None]
-        x = nn.Dense(self.num_filters, use_bias=False)(h)
+        x = nn.Dense(self.num_filters, use_bias=False, kernel_init=xavier)(h)
         msg = x[senders] * W
         x = segment_sum(msg, receivers, num_nodes, mask=edge_mask)
-        x = nn.Dense(self.hidden_channels)(x)
+        x = nn.Dense(self.hidden_channels, kernel_init=xavier)(x)
         x = shifted_softplus(x)
-        return nn.Dense(self.hidden_channels)(x)
+        return nn.Dense(self.hidden_channels, kernel_init=xavier)(x)
 
 
 class SchNetModel(nn.Module):
@@ -65,7 +68,9 @@ class SchNetModel(nn.Module):
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
-        h = nn.Embed(100, self.hidden_channels, name="embedding")(batch.atoms)
+        h = nn.Embed(100, self.hidden_channels,
+                     embedding_init=nn.initializers.normal(1.0),  # torch Embedding default
+                     name="embedding")(batch.atoms)
         edge_weight = safe_norm(
             batch.pos[batch.senders] - batch.pos[batch.receivers], axis=-1
         )
@@ -78,6 +83,8 @@ class SchNetModel(nn.Module):
             )(h, batch.senders, batch.receivers, edge_weight, edge_attr,
               batch.edge_mask)
         out = POOL[self.pool](h, batch)
-        out = nn.Dense(self.hidden_channels // 2)(out)
+        # PyG SchNet.reset_parameters: xavier_uniform + zero bias on lin1/lin2
+        xavier = nn.initializers.xavier_uniform()
+        out = nn.Dense(self.hidden_channels // 2, kernel_init=xavier)(out)
         out = shifted_softplus(out)
-        return nn.Dense(self.out_dim)(out)
+        return nn.Dense(self.out_dim, kernel_init=xavier)(out)

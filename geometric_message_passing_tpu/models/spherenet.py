@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from ..graph import GraphBatch
 from ..ops.dimenet_basis import AngleEmb, DistEmb, TorsionEmb
 from ..ops.scatter import segment_min, segment_sum
-from .dimenet import ResidualLayer, glorot_orthogonal, swish
+from .dimenet import (ResidualLayer, glorot_orthogonal, swish,
+                      torch_linear_bias_init, torch_linear_kernel_init)
 from .pooling import POOL
 from ..ops.norms import safe_arctan2, safe_norm
 
@@ -42,9 +43,16 @@ class SphereNetInit(nn.Module):
             ne = self.param("node_embedding", nn.initializers.normal(1.0),
                             (self.hidden,))
             x = jnp.broadcast_to(ne, (atoms.shape[0], self.hidden))
-        rbf0 = swish(nn.Dense(self.hidden, name="lin_rbf_0")(rbf))
+        # lin_rbf_0 / lin stay on torch.nn.Linear defaults in the reference
+        # (init.reset_parameters calls their own reset, spherenet_layer.py:84-88)
+        rbf0 = swish(nn.Dense(
+            self.hidden, kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(self.num_radial),
+            name="lin_rbf_0")(rbf))
         e1 = swish(
-            nn.Dense(self.hidden, name="lin")(
+            nn.Dense(self.hidden, kernel_init=torch_linear_kernel_init,
+                     bias_init=torch_linear_bias_init(3 * self.hidden),
+                     name="lin")(
                 jnp.concatenate([x[receivers], x[senders], rbf0], axis=-1)
             )
         )
@@ -137,7 +145,10 @@ class SphereNetUpdateV(nn.Module):
     def __call__(self, e, receivers, num_nodes, edge_mask):
         _, e2 = e
         v = segment_sum(e2, receivers, num_nodes, mask=edge_mask)
+        # lin_up's bias is never reset in the reference (update_v.reset_parameters
+        # touches only the weight, spherenet_layer.py:210-211) -> torch default
         v = nn.Dense(self.out_emb_channels, kernel_init=glorot_orthogonal(),
+                     bias_init=torch_linear_bias_init(self.hidden),
                      name="lin_up")(v)
         for k in range(self.num_output_layers):
             v = swish(nn.Dense(self.out_emb_channels,

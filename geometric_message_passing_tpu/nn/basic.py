@@ -7,6 +7,7 @@ update networks of the reference EGNN layer
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
@@ -48,12 +49,32 @@ class BatchNorm(nn.Module):
         )(x)
 
 
+# torch.nn.Linear's default reset_parameters: kaiming_uniform(a=sqrt(5)) on
+# the weight == U(+-1/sqrt(fan_in)), and U(+-1/sqrt(fan_in)) on the bias.
+# Used wherever the reference's counterpart is a raw torch Linear it never
+# re-initializes (EGNN MLPs, the TFN/MACE edge-weight MLP + readout heads,
+# every GVP perceptron) so the init distributions match the reference.
+torch_linear_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_linear_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class MLP(nn.Module):
     """Linear/Norm/Act stack.
 
     hidden: sequence of layer widths (the output width is hidden[-1]).
     norm: None | 'layer' | 'batch' applied after every Linear except
     (optionally) the last; activation likewise.
+    torch_init: initialize every Dense like torch.nn.Linear (the reference's
+    Sequential MLPs never reset their Linears).
     """
 
     hidden: Sequence[int]
@@ -66,6 +87,7 @@ class MLP(nn.Module):
     # bf16 — no f32 boundary, so the backward pass over [E, ~94k] stays
     # bf16 end to end.
     final_dtype: Optional[str] = None
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -73,7 +95,13 @@ class MLP(nn.Module):
         n = len(self.hidden)
         for i, width in enumerate(self.hidden):
             dt = self.final_dtype if i == n - 1 else None
-            x = nn.Dense(width, dtype=dt)(x)
+            if self.torch_init:
+                x = nn.Dense(
+                    width, dtype=dt,
+                    kernel_init=torch_linear_kernel_init,
+                    bias_init=torch_linear_bias_init(x.shape[-1]))(x)
+            else:
+                x = nn.Dense(width, dtype=dt)(x)
             last = i == n - 1
             if self.norm and (not last or self.norm_final):
                 if self.norm == "layer":

@@ -16,7 +16,8 @@ import flax.linen as nn
 
 from ..irreps import Irreps
 from ..ops.scatter import segment_mean, segment_sum
-from .basic import MLP
+from .basic import (MLP, torch_linear_bias_init,
+                    torch_linear_kernel_init)
 from .equivariant import EquivariantBatchNorm, Gate, Activation, irreps2gate
 from .tensor_product import EdgeTensorProduct
 
@@ -85,15 +86,21 @@ class TensorProductConvLayer(nn.Module):
         # the batched TP dots) — ~1.1 GB/step of copy traffic for TFN
         # (RESULTS.md).  Same math: Dense init distributions depend only on
         # fan-in, which is identical for every head.
+        # torch_init: the reference's weight MLP is a raw torch Sequential
+        # (tfn_layer.py:73-77) left on torch.nn.Linear default init
         self.fc = MLP(
             hidden=(self.mlp_dim,),
             activation="relu",
             norm=None,
             act_final=True,
+            torch_init=True,
         )
         head_dtype = "bfloat16" if self.weights_bf16 else None
         self.fc_heads = [
-            nn.Dense(n, dtype=head_dtype, name=f"fc_out{g}")
+            nn.Dense(n, dtype=head_dtype,
+                     kernel_init=torch_linear_kernel_init,
+                     bias_init=torch_linear_bias_init(self.mlp_dim),
+                     name=f"fc_out{g}")
             for g, n in enumerate(self.tp.group_weight_numels)
         ]
         self._bn = (

@@ -12,7 +12,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .basic import ACT
+from .basic import (ACT, torch_linear_bias_init,
+                    torch_linear_kernel_init)
 
 
 def norm_no_nan(x, axis=-1, keepdims=False, eps=1e-8, sqrt=True):
@@ -61,24 +62,32 @@ class GVP(nn.Module):
     def __call__(self, x):
         si, vi = self.in_dims
         so, vo = self.out_dims
+        # every Linear here is a raw torch.nn.Linear in the reference
+        # (gvp_layer.py:128-135) -> torch default init
+        ki, bi = torch_linear_kernel_init, torch_linear_bias_init
         if vi:
             s, v = x
             h_dim = self.h_dim or max(vi, vo)
             vt = jnp.swapaxes(v, -1, -2)                       # [..., 3, vi]
-            vh = nn.Dense(h_dim, use_bias=False, name="wh")(vt)  # [..., 3, h]
+            vh = nn.Dense(h_dim, use_bias=False, kernel_init=ki,
+                          name="wh")(vt)                       # [..., 3, h]
             vn = norm_no_nan(vh, axis=-2)                      # [..., h]
-            s = nn.Dense(so, name="ws")(jnp.concatenate([s, vn], -1))
+            s = nn.Dense(so, kernel_init=ki, bias_init=bi(h_dim + si),
+                         name="ws")(jnp.concatenate([s, vn], -1))
             if vo:
-                v = nn.Dense(vo, use_bias=False, name="wv")(vh)
+                v = nn.Dense(vo, use_bias=False, kernel_init=ki,
+                             name="wv")(vh)
                 v = jnp.swapaxes(v, -1, -2)                    # [..., vo, 3]
                 if self.vector_gate:
                     gate_in = ACT[self.act_v](s) if self.act_v else s
-                    gate = nn.Dense(vo, name="wsv")(gate_in)
+                    gate = nn.Dense(vo, kernel_init=ki, bias_init=bi(so),
+                                    name="wsv")(gate_in)
                     v = v * nn.sigmoid(gate)[..., None]
                 elif self.act_v:
                     v = v * ACT[self.act_v](norm_no_nan(v, axis=-1, keepdims=True))
         else:
-            s = nn.Dense(so, name="ws")(x)
+            s = nn.Dense(so, kernel_init=ki, bias_init=bi(si),
+                         name="ws")(x)
             if vo:
                 v = jnp.zeros(s.shape[:-1] + (vo, 3), s.dtype)
         if self.act_s:
