@@ -1,0 +1,89 @@
+"""Compiled batch-inference engine (serving path).
+
+The reference has no inference story beyond calling ``model(batch)`` in an
+eval loop (train_utils.py:37-49); under jit every new batch SHAPE would
+recompile.  ``Predictor`` pins one padded bucket (nodes/edges/graphs — and
+triplets/quads for the directional models) so every call after the first
+reuses ONE compiled program: per-call cost is one host->device transfer and
+one device execution, independent of dataset size or graph-size jitter.
+
+    pred = Predictor(model, variables, batch_size=100)
+    y = pred.predict(graphs)          # [len(graphs), out_dim] np.ndarray
+
+The bucket is sized from the first ``predict`` call (or pass ``pad=`` /
+``triplet_pad=`` explicitly, e.g. the training loader's).  Larger graphs
+later auto-grow the bucket (one recompile, counted in ``trace_count``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..graph import GraphLoader, pad_sizes
+
+
+class Predictor:
+    """Fixed-bucket compiled inference over a model's ``apply``."""
+
+    def __init__(self, model, variables, batch_size: int = 100,
+                 pad: Optional[tuple] = None,
+                 triplet_pad: Optional[tuple] = None,
+                 needs_triplets: bool = False, with_quads: bool = False,
+                 y_dtype=np.float32):
+        self.model = model
+        self.variables = variables
+        self.batch_size = batch_size
+        self.pad = pad
+        self.triplet_pad = triplet_pad
+        self.needs_triplets = needs_triplets or with_quads
+        self.with_quads = with_quads
+        self.y_dtype = y_dtype
+        self.trace_count = 0          # number of XLA compilations paid
+
+        def _apply(v, b):
+            self.trace_count += 1     # runs only when jit traces
+            return self.model.apply(v, b)
+
+        self._fn = jax.jit(_apply)
+
+    # -- bucket management ---------------------------------------------------
+
+    def _grow_bucket(self, graphs: Sequence) -> None:
+        need = pad_sizes(graphs, self.batch_size)
+        if self.pad is None:
+            self.pad = need
+        elif any(n > p for n, p in zip(need, self.pad)):
+            self.pad = tuple(max(n, p) for n, p in zip(need, self.pad))
+        if self.needs_triplets:
+            from ..triplets import triplet_pad_sizes
+
+            need_t = triplet_pad_sizes(graphs, self.batch_size,
+                                       self.with_quads)
+            if self.triplet_pad is None:
+                self.triplet_pad = need_t
+            elif any(n > p for n, p in zip(need_t, self.triplet_pad)):
+                self.triplet_pad = tuple(
+                    max(n, p) for n, p in zip(need_t, self.triplet_pad))
+
+    # -- inference -----------------------------------------------------------
+
+    def predict(self, graphs: Sequence) -> np.ndarray:
+        """Run the model over ``graphs``; returns [len(graphs), out_dim]."""
+        self._grow_bucket(graphs)
+        loader = GraphLoader(
+            graphs, self.batch_size, shuffle=False, y_dtype=self.y_dtype,
+            pad=self.pad, with_triplets=self.needs_triplets,
+            with_quads=self.with_quads, triplet_pad=self.triplet_pad,
+        )
+        outs, remaining = [], len(graphs)
+        for batch in loader:
+            n_real = min(self.batch_size, remaining)
+            remaining -= n_real
+            out = self._fn(self.variables, batch)
+            outs.append(np.asarray(out)[:n_real])
+        return np.concatenate(outs, axis=0)
+
+    __call__ = predict
