@@ -24,11 +24,16 @@ class GVPConv(nn.Module):
     """Message = GVP-chain over cat[(s_j,V_j), edge, (s_i,V_i)]; mean-aggregated
     (gvp_layer.py:246-324).
 
-    The whole edge pass (endpoint gathers -> 3-GVP chain -> masked segment
-    mean) runs as ONE fused Pallas launch per direction on TPU
-    (ops/pallas_gvp.py); the XLA twin carries CPU/tests.  Weights live as
-    flat per-chain-layer params (same shapes/initializers as the nn/gvp.py
-    module chain; equality is tested in test_pallas.py)."""
+    With ``use_pallas=True`` the whole edge pass (endpoint gathers -> 3-GVP
+    chain -> masked segment mean) runs as ONE fused Pallas launch per
+    direction on TPU (ops/pallas_gvp.py).  Measured on-chip
+    (scripts/trial_gvp_pallas.py): 1.261 vs 1.28 ms/step XLA in a bare
+    100-step scan — but inside the whole-experiment resident program the
+    Mosaic compile is pathological through the remote compile helper
+    (CLI gvp run >560s vs ~44s XLA), so the XLA path is the DEFAULT and the
+    kernel is opt-in.  Weights live as flat per-chain-layer params (same
+    shapes/initializers as the nn/gvp.py module chain; fused==twin equality
+    is tested in test_pallas.py)."""
 
     node_dims: Tuple[int, int]
     edge_dims: Tuple[int, int]
@@ -37,7 +42,7 @@ class GVPConv(nn.Module):
     act_s: str = "relu"
     act_v: str = "sigmoid"
     vector_gate: bool = True
-    use_pallas: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask):
@@ -95,6 +100,7 @@ class GVPConvLayer(nn.Module):
     act_v: str = "sigmoid"
     vector_gate: bool = True
     residual: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask,
@@ -109,7 +115,8 @@ class GVPConvLayer(nn.Module):
             self.node_dims, self.edge_dims, self.n_message,
             aggr="add" if autoregressive_x is not None else "mean",
             act_s=self.act_s, act_v=self.act_v,
-            vector_gate=self.vector_gate, name="conv",
+            vector_gate=self.vector_gate, use_pallas=self.use_pallas,
+            name="conv",
         )
         if autoregressive_x is not None:
             forward = senders < receivers
@@ -175,6 +182,7 @@ class GVPGNNModel(nn.Module):
     pool: str = "sum"
     residual: bool = True
     equivariant_pred: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -206,7 +214,8 @@ class GVPGNNModel(nn.Module):
 
         for i in range(self.num_layers):
             h_V = GVPConvLayer(
-                node_dims, edge_dims, residual=self.residual, name=f"layer_{i}",
+                node_dims, edge_dims, residual=self.residual,
+                use_pallas=self.use_pallas, name=f"layer_{i}",
             )(h_V, batch.senders, batch.receivers, h_E, batch.edge_mask, train)
 
         out = POOL[self.pool](gvp.merge(*h_V), batch)
