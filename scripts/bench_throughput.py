@@ -30,6 +30,7 @@ MODELS = {
     "schnet": dict(num_layers=4),
     "egnn": dict(num_layers=4),
     "egnn_fused": dict(num_layers=4),
+    "egnn_stack": dict(num_layers=4),
     "gvp": dict(num_layers=4),
     "tfn": dict(num_layers=4, max_ell=3),
     "mace": dict(num_layers=2, max_ell=3, correlation=3),
@@ -44,6 +45,8 @@ def build(name, cfg):
 
     if name == "egnn_fused":
         return EGNNFusedModel(out_dim=1, **cfg)
+    if name == "egnn_stack":
+        return EGNNFusedModel(out_dim=1, fuse_stack=True, **cfg)
     return model_registry[name](out_dim=1, **cfg)
 
 

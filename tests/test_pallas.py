@@ -306,3 +306,136 @@ def test_gvp_fused_pallas_backward_matches_twin_grads():
         scale = max(float(jnp.abs(b).max()), 1.0)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4 * scale, err_msg=f"arg {i}")
+
+
+# ---------------------------------------------------------------------------
+# Whole-stack fused EGNN (ops/pallas_egnn_stack.py)
+# ---------------------------------------------------------------------------
+
+
+def _stack_setup(seed=0, n=30, e=110, d=16, n_layers=3):
+    from geometric_message_passing_tpu.ops.pallas_egnn_stack import stack_rows
+
+    rng = np.random.default_rng(seed)
+    h = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    pos = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    send = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    recv = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    emask = jnp.asarray(rng.random(e) > 0.15)
+    Wall = jnp.asarray(
+        (rng.normal(size=(n_layers, stack_rows(d), d)) * 0.1).astype(
+            np.float32))
+    # LayerNorm scales start at 1 (a 0.1-draw collapses activations)
+    Wall = Wall.at[:, :, :].set(Wall)
+    return send, recv, emask, h, pos, Wall
+
+
+def test_egnn_stack_twin_matches_per_layer_model():
+    """egnn_stack_xla == L sequential per-layer twins + explicit update MLP
+    (the packing/row-layout contract between the two strategies)."""
+    from geometric_message_passing_tpu.ops.pallas_edge import _layernorm
+    from geometric_message_passing_tpu.ops.pallas_egnn_stack import (
+        egnn_stack_xla)
+
+    d, n_layers = 16, 3
+    send, recv, emask, h, pos, Wall = _stack_setup(d=d, n_layers=n_layers)
+    n = h.shape[0]
+    msg_rows = 4 * d + 12
+
+    got_h, got_pos = egnn_stack_xla(send, recv, emask, h, pos, Wall,
+                                    n_layers, residual=True)
+
+    hh, pp = h, pos
+    for l in range(n_layers):
+        packed = Wall[l]
+        m, psum, cnt = egnn_message_xla(send, recv, emask, hh, pp,
+                                        packed[:msg_rows], d)
+        pos_aggr = psum / jnp.maximum(cnt, 1.0)
+        r = msg_rows
+        U1 = packed[r: r + 2 * d]; r += 2 * d
+        ub1, ug1, uB1 = packed[r], packed[r + 1], packed[r + 2]; r += 3
+        U2 = packed[r: r + d]; r += d
+        ub2, ug2, uB2 = packed[r], packed[r + 1], packed[r + 2]
+        u = jnp.maximum(_layernorm(
+            jnp.concatenate([hh, m], -1) @ U1 + ub1, ug1, uB1), 0.0)
+        upd = jnp.maximum(_layernorm(u @ U2 + ub2, ug2, uB2), 0.0)
+        hh = hh + upd
+        pp = pp + pos_aggr
+    assert np.allclose(np.asarray(got_h), np.asarray(hh), atol=2e-4)
+    assert np.allclose(np.asarray(got_pos), np.asarray(pp), atol=2e-4)
+
+
+def test_egnn_stack_fused_matches_xla_twin():
+    from geometric_message_passing_tpu.ops.pallas_egnn_stack import (
+        egnn_stack_xla, make_egnn_stack_fused)
+
+    d, n_layers = 16, 3
+    send, recv, emask, h, pos, Wall = _stack_setup(seed=1, d=d,
+                                                   n_layers=n_layers)
+    fused = make_egnn_stack_fused(d, n_layers, interpret=True)
+    got = fused(send, recv, emask, h, pos, Wall)
+    want = egnn_stack_xla(send, recv, emask, h, pos, Wall, n_layers)
+    for a, b, name in zip(got, want, ("h", "pos")):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-4), (
+            name, np.abs(np.asarray(a) - np.asarray(b)).max())
+
+
+def test_egnn_stack_pallas_backward_matches_twin_grads():
+    """The one-launch stack backward (jax.vjp over the unrolled stack inside
+    the kernel) == autodiff of the XLA twin."""
+    from geometric_message_passing_tpu.ops.pallas_egnn_stack import (
+        egnn_stack_xla, make_egnn_stack_fused)
+
+    d, n_layers = 16, 3
+    send, recv, emask, h, pos, Wall = _stack_setup(seed=2, n=20, e=70, d=d,
+                                                   n_layers=n_layers)
+    rng = np.random.default_rng(7)
+    gh = jnp.asarray(rng.normal(size=h.shape).astype(np.float32))
+    gp = jnp.asarray(rng.normal(size=pos.shape).astype(np.float32))
+    fused = make_egnn_stack_fused(d, n_layers, interpret=True,
+                                  pallas_bwd=True)
+
+    def loss_fused(h_, pos_, w_):
+        ho, po = fused(send, recv, emask, h_, pos_, w_)
+        return jnp.sum(ho * gh) + jnp.sum(po * gp)
+
+    def loss_twin(h_, pos_, w_):
+        ho, po = egnn_stack_xla(send, recv, emask, h_, pos_, w_, n_layers)
+        return jnp.sum(ho * gh) + jnp.sum(po * gp)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(h, pos, Wall)
+    g2 = jax.grad(loss_twin, argnums=(0, 1, 2))(h, pos, Wall)
+    for a, b, name in zip(g1, g2, ("dh", "dpos", "dW")):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-3), (
+            name, np.abs(np.asarray(a) - np.asarray(b)).max())
+
+
+def test_egnn_fused_model_stack_matches_per_layer():
+    """EGNNFusedModel(fuse_stack=True) == (False) with the SAME variables
+    (CPU: both strategies run their XLA twins) — full-model equivalence of
+    the two kernel strategies, including grads."""
+    from geometric_message_passing_tpu import datasets as ds
+    from geometric_message_passing_tpu.graph import GraphLoader
+    from geometric_message_passing_tpu.models.egnn_fused import (
+        EGNNFusedModel)
+
+    graphs = ds.create_star_graphs(num=8, fold=[4, 5], dim=3, seed=0)
+    batch = next(iter(GraphLoader(graphs, batch_size=8)))
+    m_layer = EGNNFusedModel(num_layers=3, emb_dim=32, in_dim=1, out_dim=1)
+    m_stack = EGNNFusedModel(num_layers=3, emb_dim=32, in_dim=1, out_dim=1,
+                             fuse_stack=True)
+    variables = m_layer.init(jax.random.PRNGKey(0), batch)
+    out_l = m_layer.apply(variables, batch)
+    out_s = m_stack.apply(variables, batch)
+    assert np.allclose(np.asarray(out_l), np.asarray(out_s), atol=2e-4), (
+        np.abs(np.asarray(out_l) - np.asarray(out_s)).max())
+
+    def loss(params, model):
+        return jnp.sum(model.apply({"params": params}, batch) ** 2)
+
+    g_l = jax.grad(loss)(variables["params"], m_layer)
+    g_s = jax.grad(loss)(variables["params"], m_stack)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3),
+        g_l, g_s)
