@@ -13,6 +13,11 @@ one device execution, independent of dataset size or graph-size jitter.
 The bucket is sized from the first ``predict`` call (or pass ``pad=`` /
 ``triplet_pad=`` explicitly, e.g. the training loader's).  Larger graphs
 later auto-grow the bucket (one recompile, counted in ``trace_count``).
+
+Pass ``mesh=`` (a ``jax.sharding.Mesh``) to serve over multiple chips:
+batches are grouped per device and the whole group runs as one
+``shard_map`` execution — data-parallel batch inference with zero
+cross-chip communication (each chip's graphs pool chip-locally).
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ class Predictor:
                  pad: Optional[tuple] = None,
                  triplet_pad: Optional[tuple] = None,
                  needs_triplets: bool = False, with_quads: bool = False,
-                 y_dtype=np.float32):
+                 y_dtype=np.float32, mesh=None, mesh_axis: str = "dp"):
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
@@ -41,13 +46,32 @@ class Predictor:
         self.needs_triplets = needs_triplets or with_quads
         self.with_quads = with_quads
         self.y_dtype = y_dtype
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self.trace_count = 0          # number of XLA compilations paid
 
         def _apply(v, b):
             self.trace_count += 1     # runs only when jit traces
             return self.model.apply(v, b)
 
-        self._fn = jax.jit(_apply)
+        if mesh is None:
+            self._fn = jax.jit(_apply)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def _local(v, stacked):
+                b = jax.tree.map(lambda x: x[0], stacked)
+                return _apply(v, b)[None]
+
+            def _sharded(v, stacked):
+                return shard_map(
+                    _local, mesh=mesh,
+                    in_specs=(P(), P(mesh_axis)), out_specs=P(mesh_axis),
+                    check_vma=False,
+                )(v, stacked)
+
+            self._fn = jax.jit(_sharded)
 
     # -- bucket management ---------------------------------------------------
 
@@ -78,12 +102,36 @@ class Predictor:
             pad=self.pad, with_triplets=self.needs_triplets,
             with_quads=self.with_quads, triplet_pad=self.triplet_pad,
         )
-        outs, remaining = [], len(graphs)
-        for batch in loader:
+        if self.mesh is None:
+            outs, remaining = [], len(graphs)
+            for batch in loader:
+                n_real = min(self.batch_size, remaining)
+                remaining -= n_real
+                out = self._fn(self.variables, batch)
+                outs.append(np.asarray(out)[:n_real])
+            return np.concatenate(outs, axis=0)
+
+        # mesh path: group ndev batches per execution, pad the last group by
+        # repeating its final batch (sliced away below)
+        import jax.numpy as jnp
+
+        ndev = self.mesh.shape[self.mesh_axis]
+        batches = list(loader)
+        reals = []
+        remaining = len(graphs)
+        for _ in batches:
             n_real = min(self.batch_size, remaining)
             remaining -= n_real
-            out = self._fn(self.variables, batch)
-            outs.append(np.asarray(out)[:n_real])
+            reals.append(n_real)
+        outs = []
+        for g0 in range(0, len(batches), ndev):
+            group = batches[g0 : g0 + ndev]
+            n_live = len(group)
+            group = group + [group[-1]] * (ndev - n_live)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+            out = np.asarray(self._fn(self.variables, stacked))
+            for k in range(n_live):
+                outs.append(out[k][: reals[g0 + k]])
         return np.concatenate(outs, axis=0)
 
     __call__ = predict

@@ -56,3 +56,32 @@ def test_predictor_triplet_models():
     y = pred.predict(graphs)
     assert y.shape == (10, 1) and np.isfinite(y).all()
     assert pred.trace_count == 1
+
+
+def test_predictor_mesh_sharded_matches_single_device():
+    """Predictor(mesh=...) — data-parallel batch inference over a device
+    mesh — returns exactly the single-device predictions, including a
+    ragged final group (7 batches over 4 devices) and a partial last
+    batch."""
+    from geometric_message_passing_tpu.parallel.mesh import make_mesh
+
+    graphs = ds.create_star_graphs(num=27, fold=[4, 5], dim=3, seed=3)
+    model = model_registry["egnn"](num_layers=2, emb_dim=16, in_dim=1,
+                                   out_dim=2)
+    loader = GraphLoader(graphs, batch_size=4)
+    variables = model.init(seed_everything(0), next(iter(loader)))
+
+    single = Predictor(model, variables, batch_size=4)
+    y_ref = single.predict(graphs)
+
+    mesh = make_mesh((4,), ("dp",), devices=jax.devices()[:4])
+    sharded = Predictor(model, variables, batch_size=4, mesh=mesh)
+    y = sharded.predict(graphs)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(y, y_ref, atol=1e-5)
+    assert sharded.trace_count == 1
+
+    # second call with fewer graphs: same bucket, no recompile
+    y2 = sharded.predict(graphs[:10])
+    np.testing.assert_allclose(y2, y_ref[:10], atol=1e-5)
+    assert sharded.trace_count == 1
