@@ -740,3 +740,41 @@ class TestSphereNetLayerOracle:
         got = ours.apply(variables, (e1, e2), recv, n, mask)
         np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=2e-5,
                                    atol=2e-5)
+
+
+@requires_reference_egnn
+def test_mpnn_layer_matches_reference():
+    """Our MPNNLayer == the reference MPNNLayer (egnn_layer.py:92-155), the
+    positions-blind baseline, with ported MLP weights."""
+    import jax
+    import torch
+
+    from geometric_message_passing_tpu.models.egnn import MPNNLayer
+
+    ref_mod = _load_reference_module(REF_EGNN, "ref_egnn")
+    rng = np.random.default_rng(5)
+    n, e, d = 11, 34, 16
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = (senders + 1 + rng.integers(0, n - 1, e)).astype(np.int32) % n
+    receivers[:n] = np.arange(n)  # dim_size inference (see EGNN oracle)
+    h = rng.standard_normal((n, d)).astype(np.float32)
+    mask = np.ones(e, dtype=bool)
+
+    ours = MPNNLayer(emb_dim=d)
+    variables = ours.init(jax.random.PRNGKey(0), h, senders, receivers, mask)
+    ref = ref_mod.MPNNLayer(emb_dim=d).eval()
+    p = variables["params"]
+    for mlp_name, seq in (("mlp_msg", ref.mlp_msg), ("mlp_upd", ref.mlp_upd)):
+        fl = p[mlp_name]
+        lins = [m for m in seq if isinstance(m, torch.nn.Linear)]
+        lns = [m for m in seq if isinstance(m, torch.nn.LayerNorm)]
+        for i, tl in enumerate(lins):
+            _copy_linear(tl, fl[f"Dense_{i}"])
+        for i, tl in enumerate(lns):
+            _copy_layernorm(tl, fl[f"LayerNorm_{i}"])
+    ei = torch.from_numpy(np.stack([senders, receivers]).astype(np.int64))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(h), ei)
+    got = ours.apply(variables, h, senders, receivers, mask)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=2e-5,
+                               atol=2e-5)
