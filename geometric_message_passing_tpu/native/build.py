@@ -10,7 +10,8 @@ from typing import Optional
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "batcher.cpp"),
-         os.path.join(_HERE, "triplets.cpp")]
+         os.path.join(_HERE, "triplets.cpp"),
+         os.path.join(_HERE, "radius.cpp")]
 _SRC = _SRCS[0]  # backwards-compat name
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None

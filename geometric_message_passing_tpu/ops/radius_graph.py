@@ -34,7 +34,64 @@ def radius_graph(
 
     pos: [n, d] float positions.  batch: [n] int graph ids (no cross-graph
     edges).  max_num_neighbors: keep the nearest k neighbors per node.
-    """
+
+    Dispatches to the native C++ cell-list builder (native/radius.cpp,
+    element-exact vs this Python twin — test_native) when the toolchain is
+    available; falls back to the numpy implementation below."""
+    out = _radius_graph_native(pos, r, batch, loop, max_num_neighbors)
+    if out is not None:
+        return out
+    return radius_graph_python(pos, r, batch, loop, max_num_neighbors)
+
+
+def _radius_graph_native(pos, r, batch, loop, max_num_neighbors):
+    """ctypes call into gmp_radius_graph; None when the lib is unavailable."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    pos = np.ascontiguousarray(np.asarray(pos, np.float64))
+    n, d = pos.shape if pos.ndim == 2 else (pos.shape[0], 1)
+    if n == 0:
+        return np.zeros((2, 0), np.int32)
+    fn = lib.gmp_radius_graph
+    fn.restype = ctypes.c_long
+    b_arr = (np.ascontiguousarray(np.asarray(batch, np.int64))
+             if batch is not None else None)
+    cap = max(16, 4 * n)
+    while True:
+        rows = np.empty(cap, np.int32)
+        cols = np.empty(cap, np.int32)
+        cnt = fn(
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_long(n), ctypes.c_long(d), ctypes.c_double(float(r)),
+            b_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
+            if b_arr is not None else None,
+            ctypes.c_int(1 if loop else 0),
+            ctypes.c_long(-1 if max_num_neighbors is None
+                          else int(max_num_neighbors)),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ctypes.c_long(cap),
+        )
+        if cnt <= cap:
+            return np.stack([rows[:cnt], cols[:cnt]])
+        cap = int(cnt)
+
+
+def radius_graph_python(
+    pos: np.ndarray,
+    r: float,
+    batch: Optional[np.ndarray] = None,
+    loop: bool = False,
+    max_num_neighbors: Optional[int] = None,
+) -> np.ndarray:
+    """Pure-numpy twin of the native builder (same candidate enumeration
+    order: buckets hold ascending node ids, offsets enumerate last-axis
+    fastest — element-exact parity is tested)."""
     pos = np.asarray(pos, np.float64)
     n = pos.shape[0]
     if n == 0:

@@ -74,3 +74,30 @@ def test_native_triplets_match_python():
             assert len(out) == len(ref)
             for a, b in zip(out, ref):
                 np.testing.assert_array_equal(a, b)
+
+
+def test_native_radius_graph_matches_python():
+    """C++ cell-list radius graph == the numpy twin, ELEMENT-EXACT (same
+    bucket/offset enumeration order), across dims/batch/loop/knn caps."""
+    from geometric_message_passing_tpu.native import have_native
+    from geometric_message_passing_tpu.ops.radius_graph import (
+        _radius_graph_native, radius_graph_python)
+
+    if not have_native():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    for seed, (n, d, r, use_batch, loop, k) in enumerate([
+        (40, 3, 0.7, False, False, None),
+        (60, 3, 0.5, True, False, None),
+        (50, 2, 0.6, True, True, None),
+        (80, 3, 0.9, True, False, 4),
+        (1, 3, 0.5, False, True, None),
+        (0, 3, 0.5, False, False, None),
+    ]):
+        pos = rng.random((n, d))
+        batch = (np.sort(rng.integers(0, 3, n)) if use_batch else None)
+        nat = _radius_graph_native(pos, r, batch, loop, k)
+        py = radius_graph_python(pos, r, batch, loop, k)
+        assert nat is not None
+        np.testing.assert_array_equal(nat, py, err_msg=f"case {seed}")
+        assert nat.dtype == py.dtype == np.int32
