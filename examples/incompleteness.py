@@ -16,6 +16,10 @@ Run:  python examples/incompleteness.py --env two_body --models schnet egnn
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

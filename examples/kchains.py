@@ -8,6 +8,10 @@ Run (CPU or TPU):  python examples/kchains.py --k 4 --models egnn mpnn
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -15,6 +15,10 @@ Run (CPU or TPU):  python examples/qm9_pipeline.py --model egnn
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import math
 import random
 

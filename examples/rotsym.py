@@ -10,6 +10,10 @@ Run:  python examples/rotsym.py --fold 3 --models egnn tfn mace
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
