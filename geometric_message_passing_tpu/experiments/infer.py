@@ -96,6 +96,9 @@ class Predictor:
 
     def predict(self, graphs: Sequence) -> np.ndarray:
         """Run the model over ``graphs``; returns [len(graphs), out_dim]."""
+        if len(graphs) == 0:
+            return np.zeros((0, getattr(self.model, "out_dim", 0)),
+                            np.float32)
         self._grow_bucket(graphs)
         loader = GraphLoader(
             graphs, self.batch_size, shuffle=False, y_dtype=self.y_dtype,

@@ -172,10 +172,17 @@ class EGNNFusedModel(nn.Module):
                     train)
                 h = h + h_update if self.residual else h_update
                 pos = pos_update
+        # torch-default readout inits, matching models/egnn.py::EGNNModel
+        from ..nn.basic import (torch_linear_bias_init,
+                                torch_linear_kernel_init)
+        ki, bi = torch_linear_kernel_init, torch_linear_bias_init
         if self.equivariant_pred:
             out = POOL[self.pool](jnp.concatenate([h, pos], -1), batch)
-            return nn.Dense(self.out_dim, name="pred")(out)
+            return nn.Dense(self.out_dim, kernel_init=ki,
+                            bias_init=bi(out.shape[-1]), name="pred")(out)
         out = POOL[self.pool](h, batch)
-        out = nn.Dense(self.emb_dim)(out)
+        out = nn.Dense(self.emb_dim, kernel_init=ki,
+                       bias_init=bi(self.emb_dim))(out)
         out = nn.relu(out)
-        return nn.Dense(self.out_dim)(out)
+        return nn.Dense(self.out_dim, kernel_init=ki,
+                        bias_init=bi(self.emb_dim))(out)

@@ -53,6 +53,16 @@ class GVPConv(nn.Module):
         se, ve = self.edge_dims
         in_dims = (2 * si + se, 2 * vi + ve)
         dims_chain = [in_dims] + [self.node_dims] * self.n_layers
+        assert self.aggr in ("mean", "add"), self.aggr
+
+        if not (self.vector_gate and self.act_s == "relu"
+                and self.act_v == "sigmoid"):
+            # general configs run the nn/gvp.py module chain (the reference
+            # builds the same GVP sequence, gvp_layer.py:283-302); the flat
+            # fused-weight path below implements only the defaults
+            return self._module_chain(x, senders, receivers, edge_attr,
+                                      edge_mask, dims_chain)
+
         # torch.nn.Linear default inits, matching nn/gvp.py::GVP
         ki = torch_linear_kernel_init
         bi = torch_linear_bias_init
@@ -68,9 +78,6 @@ class GVPConv(nn.Module):
             bsv = self.param(f"gvp{k}_bsv", bi(sok), (vok,))
             ws += [Wh, Wv, Wsm, bs[None], Wsv, bsv[None]]
 
-        assert self.aggr in ("mean", "add") and self.vector_gate and \
-            self.act_s == "relu" and self.act_v == "sigmoid", (
-                "fused GVPConv implements the reference defaults")
         vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
         evx, evy, evz = ev[..., 0], ev[..., 1], ev[..., 2]
         if self.use_pallas and jax.default_backend() != "cpu":
@@ -86,6 +93,35 @@ class GVPConv(nn.Module):
             cnt = jnp.maximum(cnt, 1.0)
             ssum, sx, sy, sz = ssum / cnt, sx / cnt, sy / cnt, sz / cnt
         return ssum, jnp.stack([sx, sy, sz], axis=-1)
+
+    def _module_chain(self, x, senders, receivers, edge_attr, edge_mask,
+                      dims_chain):
+        from ..ops.scatter import segment_sum
+
+        s, v = x
+        es, ev = edge_attr
+        num_nodes = s.shape[0]
+        ms = jnp.concatenate([s[senders], es, s[receivers]], axis=-1)
+        mv = jnp.concatenate([v[senders], ev, v[receivers]], axis=-2)
+        h = (ms, mv)
+        for k in range(self.n_layers):
+            last = k == self.n_layers - 1
+            h = gvp.GVP(dims_chain[k], dims_chain[k + 1],
+                        act_s=None if last else self.act_s,
+                        act_v=None if last else self.act_v,
+                        vector_gate=self.vector_gate, name=f"gvp_{k}")(h)
+        ms_out, mv_out = h
+        nv = mv_out.shape[-2]
+        ssum = segment_sum(ms_out, receivers, num_nodes, mask=edge_mask)
+        vsum = segment_sum(mv_out.reshape(mv_out.shape[0], nv * 3),
+                           receivers, num_nodes, mask=edge_mask)
+        vsum = vsum.reshape(num_nodes, nv, 3)
+        if self.aggr == "mean":
+            cnt = jnp.maximum(
+                segment_sum(jnp.ones((senders.shape[0], 1), s.dtype),
+                            receivers, num_nodes, mask=edge_mask), 1.0)
+            ssum, vsum = ssum / cnt, vsum / cnt[..., None]
+        return ssum, vsum
 
 
 class GVPConvLayer(nn.Module):

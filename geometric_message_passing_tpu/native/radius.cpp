@@ -30,13 +30,15 @@ long gmp_radius_graph(const double* pos, long n, long d, double r,
                       int* out_rows, int* out_cols, long cap) {
   if (n <= 0 || d <= 0) return 0;
   const double rr = r > 1e-12 ? r : 1e-12;
-  const double inv = 1.0 / rr;
   const double r2 = r * r;
 
   std::vector<int64_t> cell(static_cast<size_t>(n) * d);
   for (long i = 0; i < n; ++i)
     for (long k = 0; k < d; ++k)
-      cell[i * d + k] = static_cast<int64_t>(std::floor(pos[i * d + k] * inv));
+      // divide (not multiply-by-inverse): the numpy twin uses pos / r, and
+      // a 1-ulp difference at a cell boundary would change the candidate
+      // enumeration order, breaking element-exact parity
+      cell[i * d + k] = static_cast<int64_t>(std::floor(pos[i * d + k] / rr));
 
   auto cell_hash = [&](long bi, const int64_t* c) -> uint64_t {
     uint64_t h = mix(0x12345678ULL, static_cast<uint64_t>(bi));

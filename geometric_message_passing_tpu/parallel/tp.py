@@ -155,7 +155,11 @@ def dp_tp_train_step(model, tx, mesh: Mesh, loss_fn,
         variables = jax.tree.map(lambda x: x[0], variables)   # strip tp stack
         opt_state = jax.tree.map(lambda x: x[0], opt_state)
         batch = jax.tree.map(lambda x: x[0], batch)           # strip dp stack
-        rng = collectives.fold_in_axes(rng, dp_axis, tp_axis)
+        # fold ONLY the dp axis: dp replicas see different data and need
+        # distinct dropout masks, but the k tp shards of one replica compute
+        # the SAME activations redundantly — folding tp would desynchronize
+        # their dropout masks and break the loss/k redundancy invariant below
+        rng = collectives.fold_in_axes(rng, dp_axis)
 
         def loss_of(params):
             vs = {**variables, "params": params}
@@ -207,7 +211,9 @@ def tp_train_step(model, tx, mesh: Mesh, loss_fn, axis: str = "tp"):
     def per_device(variables, opt_state, batch, rng):
         variables = jax.tree.map(lambda x: x[0], variables)
         opt_state = jax.tree.map(lambda x: x[0], opt_state)
-        rng = collectives.fold_in_axes(rng, axis)
+        # NOTE: rng is NOT folded over the tp axis — every shard must draw
+        # the same dropout mask for the redundant-computation invariant
+        # (loss/k below) to hold; only data-parallel axes get distinct keys
 
         def loss_of(params):
             vs = {**variables, "params": params}

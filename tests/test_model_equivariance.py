@@ -231,3 +231,42 @@ def test_gvp_autoregressive_and_node_mask_modes():
     upd = np.asarray(node_mask)
     np.testing.assert_allclose(np.asarray(masked[0])[upd],
                                np.asarray(plain[0])[upd], atol=2e-5)
+
+
+def test_gvp_conv_general_configs_run_and_are_equivariant():
+    """GVPConv configs beyond the fused-path defaults (other activations,
+    vector_gate=False, aggr='add') run via the module-chain path and stay
+    rotation-equivariant."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.stats import ortho_group
+
+    from geometric_message_passing_tpu.models.gvpgnn import GVPConv
+
+    rng = np.random.default_rng(0)
+    n, e = 10, 26
+    node_dims, edge_dims = (7, 4), (5, 2)
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    mask = np.ones(e, bool)
+    s = rng.standard_normal((n, node_dims[0])).astype(np.float32)
+    v = rng.standard_normal((n, node_dims[1], 3)).astype(np.float32)
+    es = rng.standard_normal((e, edge_dims[0])).astype(np.float32)
+    ev = rng.standard_normal((e, edge_dims[1], 3)).astype(np.float32)
+    Q = ortho_group.rvs(3, random_state=1).astype(np.float32)
+    if np.linalg.det(Q) < 0:
+        Q = -Q
+
+    for kw in (dict(act_s="swish"), dict(vector_gate=False),
+               dict(aggr="add")):
+        conv = GVPConv(node_dims, edge_dims, n_layers=2, **kw)
+        variables = conv.init(jax.random.PRNGKey(0), (s, v), senders,
+                              receivers, (es, ev), mask)
+        so, vo = conv.apply(variables, (s, v), senders, receivers,
+                            (es, ev), mask)
+        so_r, vo_r = conv.apply(variables, (s, v @ Q.T), senders, receivers,
+                                (es, ev @ Q.T), mask)
+        np.testing.assert_allclose(np.asarray(so_r), np.asarray(so),
+                                   rtol=2e-4, atol=2e-4, err_msg=str(kw))
+        np.testing.assert_allclose(np.asarray(vo_r), np.asarray(vo @ Q.T),
+                                   rtol=2e-4, atol=2e-4, err_msg=str(kw))

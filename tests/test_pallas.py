@@ -325,8 +325,10 @@ def _stack_setup(seed=0, n=30, e=110, d=16, n_layers=3):
     Wall = jnp.asarray(
         (rng.normal(size=(n_layers, stack_rows(d), d)) * 0.1).astype(
             np.float32))
-    # LayerNorm scales start at 1 (a 0.1-draw collapses activations)
-    Wall = Wall.at[:, :, :].set(Wall)
+    # LayerNorm scale rows start at 1 (a 0.1-draw collapses activations);
+    # row offsets follow the packing documented in pallas_egnn_stack.py
+    for row in (2 * d + 2, 3 * d + 5, 4 * d + 8, 6 * d + 13, 7 * d + 16):
+        Wall = Wall.at[:, row, :].set(1.0)
     return send, recv, emask, h, pos, Wall
 
 

@@ -192,10 +192,15 @@ def _install_pyg_stubs():
                            "scatter_sum": scatter_add}),
         ("torch_sparse", {"SparseTensor": object}),
     ):
-        mod = sys.modules.get(name) or types.ModuleType(name)
+        mod = sys.modules.get(name)
+        if mod is not None and not getattr(mod, "_gmp_stub", False):
+            continue  # the REAL package is importable — never clobber it
+        if mod is None:
+            mod = types.ModuleType(name)
+            mod._gmp_stub = True
+            sys.modules[name] = mod
         for k, v in attrs.items():
             setattr(mod, k, v)
-        sys.modules[name] = mod
 
 
 def _load_reference_spherenet():
