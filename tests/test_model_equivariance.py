@@ -257,8 +257,11 @@ def test_gvp_conv_general_configs_run_and_are_equivariant():
     if np.linalg.det(Q) < 0:
         Q = -Q
 
+    # aggr='add' is paired with a non-default activation: with the default
+    # acts it would dispatch through the flat fused-weight path rather than
+    # _module_chain, and the point here is to cover the chain path.
     for kw in (dict(act_s="swish"), dict(vector_gate=False),
-               dict(aggr="add")):
+               dict(aggr="add", act_s="swish")):
         conv = GVPConv(node_dims, edge_dims, n_layers=2, **kw)
         variables = conv.init(jax.random.PRNGKey(0), (s, v), senders,
                               receivers, (es, ev), mask)
