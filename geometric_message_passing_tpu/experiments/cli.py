@@ -52,6 +52,22 @@ def build_parser() -> argparse.ArgumentParser:
     # (tfn/mace only); measured speed/quality tradeoff in RESULTS.md
     p.add_argument("--bf16_tp_weights", action=argparse.BooleanOptionalAction,
                    default=False)
+    # Global matmul precision for f32 dots/einsums.  JAX's TPU default feeds
+    # the MXU bf16 operand passes ("default" = 1 pass); the reference trains
+    # in true torch f32, and MACE's multiplicative depth (per-edge TP ->
+    # x^3 contraction chain) is precision-sensitive (RESULTS.md precision
+    # table).  "float32" = 6-pass bf16 (exact-f32-equivalent accumulation),
+    # "tensorfloat32" = 3-pass.  Measured ablation in RESULTS.md.
+    p.add_argument("--matmul_precision", type=str, default=None,
+                   choices=["default", "tensorfloat32", "float32",
+                            "bfloat16_3x", "highest"])
+    # Scoped variant of the same knob: exact-f32 passes for ONLY the
+    # equivariant core (edge TP / symmetric contraction / product linear),
+    # leaving the FLOP-bound edge-MLP head GEMMs at default.  "model" keeps
+    # each model's default (MACE: highest — reference-parity numerics;
+    # others: default).
+    p.add_argument("--tp_precision", type=str, default="model",
+                   choices=["model", "default", "highest"])
     return p
 
 
@@ -87,19 +103,28 @@ def make_model_func(args):
     base = model_registry[name]
     if name in ("schnet", "dimenet", "spherenet"):
         return base  # node-level config flags not applicable (reference TODO)
+    prec = {}
+    if args.tp_precision != "model":
+        prec["tp_precision"] = (None if args.tp_precision == "default"
+                                else args.tp_precision)
     if name == "tfn":
         return partial(base, max_ell=args.max_ell,
                        equivariant_pred=args.equivariant, pool=args.pool,
-                       weights_bf16=args.bf16_tp_weights)
+                       weights_bf16=args.bf16_tp_weights, **prec)
     if name == "mace":
         return partial(base, max_ell=args.max_ell, correlation=args.max_corr,
                        equivariant_pred=args.equivariant, pool=args.pool,
-                       weights_bf16=args.bf16_tp_weights)
+                       weights_bf16=args.bf16_tp_weights, **prec)
     return partial(base, equivariant_pred=args.equivariant, pool=args.pool)
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.matmul_precision:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
     data, model_args = make_dataset(args)
 
     tr, va, te = random_split(data, [0.5, 0.2, 0.3], seed=0)

@@ -47,6 +47,15 @@ class MACEModel(nn.Module):
     # nn/conv.py::TensorProductConvLayer.weights_bf16) — opt-in speed knob;
     # measured tradeoff in RESULTS.md (star MAE degrades, paired_star doesn't)
     weights_bf16: bool = False
+    # matmul precision for the equivariant core (edge TP + symmetric
+    # contraction + product linear).  TPU f32 einsums default to single
+    # bf16 MXU passes, which systematically degrades MACE vs the reference's
+    # true-f32 torch numerics (star anchor 0.0832 default vs 0.0774
+    # 'highest', ref 0.0766 — round-3 ablation, RESULTS.md).  The edge-MLP
+    # weight-head GEMMs are left at default precision (FLOP-bound, not
+    # quality-critical at these scales... they feed the TP which rounds
+    # identically either way).
+    tp_precision: Optional[str] = "highest"
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -80,6 +89,7 @@ class MACEModel(nn.Module):
                 tp_axis=self.tp_axis,
                 tp_size=self.tp_size,
                 weights_bf16=self.weights_bf16,
+                tp_precision=self.tp_precision,
                 name=f"conv_{i}",
             )(h, batch.senders, batch.receivers, edge_sh, edge_feats,
               edge_mask=batch.edge_mask, node_mask=batch.node_mask, train=train)
@@ -94,6 +104,7 @@ class MACEModel(nn.Module):
                 num_elements=self.in_dim,
                 tp_axis=self.tp_axis,
                 tp_size=self.tp_size,
+                precision=self.tp_precision,
                 name=f"prod_{i}",
             )(reshape_irreps(h_update, hidden), sc, None)
 

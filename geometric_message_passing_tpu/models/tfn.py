@@ -42,6 +42,11 @@ class TFNModel(nn.Module):
     # nn/conv.py::TensorProductConvLayer.weights_bf16) — opt-in speed knob;
     # measured tradeoff in RESULTS.md (star MAE degrades, paired_star doesn't)
     weights_bf16: bool = False
+    # matmul precision for the edge-TP einsums (see MACEModel.tp_precision).
+    # TFN measures at reference parity with the default single-pass bf16
+    # MXU numerics (star 0.0680 vs ref 0.0667, RESULTS.md), so the exact-f32
+    # knob stays opt-in here ('highest' to enable).
+    tp_precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -73,6 +78,7 @@ class TFNModel(nn.Module):
                 batch_norm=self.batch_norm,
                 gate=self.gate,
                 weights_bf16=self.weights_bf16,
+                tp_precision=self.tp_precision,
                 name=f"conv_{i}",
             )(h, batch.senders, batch.receivers, edge_sh, edge_feats,
               edge_mask=batch.edge_mask, node_mask=batch.node_mask, train=train)

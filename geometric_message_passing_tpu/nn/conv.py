@@ -48,6 +48,12 @@ class TensorProductConvLayer(nn.Module):
     # all tasks (MACE star MAE 0.0833 bf16 vs 0.0767 f32, RESULTS.md), so
     # like every precision knob here it is opt-in.  Gradients stay f32.
     weights_bf16: bool = False
+    # jax matmul precision for the TP einsums ('highest' = exact f32).
+    # TPU f32 einsums default to single bf16 MXU passes; MACE's quality is
+    # sensitive to the rounding of the per-edge weight operand (round-3
+    # ablation, RESULTS.md), so MACEModel passes 'highest' here while the
+    # FLOP-bound edge-MLP head GEMMs stay at default precision.
+    tp_precision: Optional[str] = None
 
     def setup(self):
         out_irreps = Irreps(self.out_irreps)
@@ -73,11 +79,13 @@ class TensorProductConvLayer(nn.Module):
                 Irreps(self.in_irreps), Irreps(self.sh_irreps),
                 self._tp_out_full,
                 path_weight_scale=1.0 / math.sqrt(self.tp_size),
+                precision=self.tp_precision,
             )
         else:
             self._tp_out_full = None
             self.tp = EdgeTensorProduct(
-                Irreps(self.in_irreps), Irreps(self.sh_irreps), tp_out
+                Irreps(self.in_irreps), Irreps(self.sh_irreps), tp_out,
+                precision=self.tp_precision,
             )
         # The edge MLP's trunk is shared; the FINAL Dense is split into one
         # head per output-irrep group so the per-edge weights are produced
@@ -147,6 +155,7 @@ class EquivariantProductBasisBlock(nn.Module):
     num_elements: Optional[int] = None
     tp_axis: Optional[str] = None
     tp_size: int = 1
+    precision: Optional[str] = None  # matmul precision for chain + linear
 
     @nn.compact
     def __call__(self, node_feats, sc=None, node_attrs=None):
@@ -159,6 +168,7 @@ class EquivariantProductBasisBlock(nn.Module):
             correlation=self.correlation,
             element_dependent=self.element_dependent,
             num_elements=self.num_elements,
+            chain_precision=self.precision,
         )(node_feats, node_attrs)
         if self.tp_axis is not None:
             # row-parallel channel mix: local-mul in -> full-mul out, psum,
@@ -169,13 +179,15 @@ class EquivariantProductBasisBlock(nn.Module):
 
             target_full = scale_mul(Irreps(self.target_irreps), self.tp_size)
             out = IrrepsLinear(Irreps(self.target_irreps), target_full,
-                               fan_mult=self.tp_size)(x)
+                               fan_mult=self.tp_size,
+                               precision=self.precision)(x)
             out = jax.lax.psum(out, axis_name=self.tp_axis)
             out = shard_mul_slice(out, target_full, self.tp_size,
                                   jax.lax.axis_index(self.tp_axis))
         else:
             out = IrrepsLinear(Irreps(self.target_irreps),
-                               Irreps(self.target_irreps))(x)
+                               Irreps(self.target_irreps),
+                               precision=self.precision)(x)
         if self.use_sc and sc is not None:
             out = out + sc
         return out

@@ -98,6 +98,7 @@ class IrrepsLinear(nn.Module):
     irreps_in: Irreps
     irreps_out: Irreps
     fan_mult: int = 1   # tensor parallelism: true fan = local fan * fan_mult
+    precision: Optional[str] = None  # jax matmul precision for the mixes
 
     @nn.compact
     def __call__(self, x):
@@ -123,7 +124,8 @@ class IrrepsLinear(nn.Module):
                 ))
             W_L = jnp.concatenate(Ws, axis=2)              # [u, w, L]
             xr = jnp.concatenate(split_blocks(x, ins), axis=-1)  # [n, u, L]
-            y = jnp.einsum("...ua,uwa->...wa", xr, W_L)
+            y = jnp.einsum("...ua,uwa->...wa", xr, W_L,
+                           precision=self.precision)
             return inverse_reshape_irreps(y, outs_ir)
         xs = split_blocks(x, self.irreps_in)
         outs = []
@@ -140,7 +142,8 @@ class IrrepsLinear(nn.Module):
                     nn.initializers.normal(stddev=1.0),
                     (mul_in, mul_out),
                 )
-                y = jnp.einsum("...ud,uw->...wd", xs[ki], W)
+                y = jnp.einsum("...ud,uw->...wd", xs[ki], W,
+                               precision=self.precision)
                 contrib = y if contrib is None else contrib + y
             if contrib is None:
                 contrib = jnp.zeros(x.shape[:-1] + (mul_out, ir_out.dim), x.dtype)
@@ -155,9 +158,14 @@ def _act_second_moment(name: str) -> float:
     """1/sqrt(E_{x~N(0,1)}[act(x)^2]) — e3nn's normalize2mom constant."""
     from .basic import ACT
 
+    import jax
+
     xs = np.linspace(-12, 12, 200001)
     w = np.exp(-0.5 * xs**2) / math.sqrt(2 * math.pi)
-    ys = np.asarray(ACT[name](jnp.asarray(xs)))
+    # the first call can happen INSIDE a trace (e.g. under nn.remat in the
+    # chunked edge conv) — force concrete evaluation of the constant
+    with jax.ensure_compile_time_eval():
+        ys = np.asarray(ACT[name](jnp.asarray(xs)))
     m2 = np.trapezoid(ys**2 * w, xs)
     return float(1.0 / math.sqrt(m2))
 

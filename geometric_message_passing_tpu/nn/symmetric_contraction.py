@@ -106,6 +106,11 @@ class SymmetricContraction(nn.Module):
     # (reference 0.0766), so full f32 stays the default and bf16 is an
     # explicit speed/accuracy knob.
     chain_dtype: Optional[str] = None
+    # jax matmul precision for the chain einsums ('highest' = exact-f32
+    # MXU passes).  The TPU default rounds each einsum operand to ONE bf16
+    # pass; the x^3 contraction chain compounds that rounding (round-3
+    # precision ablation, RESULTS.md), so MACE runs this at 'highest'.
+    chain_precision: str | None = None
     # Evaluate the chain in the reassociated outer-product form (see
     # _fused_chain): same parameters, same math, but the [n, c, D, d, d]
     # HBM giant never exists — the largest intermediate is x⊗x at
@@ -174,18 +179,23 @@ class SymmetricContraction(nn.Module):
             if y is not None:
                 y = y.astype(cd)
         nu = self.correlation
+        pr = self.chain_precision
         if self.element_dependent:
-            out = jnp.einsum("...ik,ekc,bci,be->bc...", U[nu], W[nu], x, y)
+            out = jnp.einsum("...ik,ekc,bci,be->bc...", U[nu], W[nu], x, y,
+                             precision=pr)
             for nu in range(self.correlation - 1, 0, -1):
-                c = jnp.einsum("...k,ekc,be->bc...", U[nu], W[nu], y) + out
-                out = jnp.einsum("bc...i,bci->bc...", c, x)
+                c = jnp.einsum("...k,ekc,be->bc...", U[nu], W[nu], y,
+                               precision=pr) + out
+                out = jnp.einsum("bc...i,bci->bc...", c, x, precision=pr)
         elif self.fused_lowrank and self.correlation <= 3:
             out = self._fused_chain(x, U, W, D)
         else:
-            out = jnp.einsum("...ik,kc,bci->bc...", U[nu], W[nu], x)
+            out = jnp.einsum("...ik,kc,bci->bc...", U[nu], W[nu], x,
+                             precision=pr)
             for nu in range(self.correlation - 1, 0, -1):
-                c = jnp.einsum("...k,kc->c...", U[nu], W[nu]) + out
-                out = jnp.einsum("bc...i,bci->bc...", c, x)
+                c = jnp.einsum("...k,kc->c...", U[nu], W[nu],
+                               precision=pr) + out
+                out = jnp.einsum("bc...i,bci->bc...", c, x, precision=pr)
         out = out.astype(in_dtype)
         # out: [n, c, D] in irreps_out block order -> [n, sum c*d_out]
         return self._split_out(out, irs_out)
@@ -208,24 +218,27 @@ class SymmetricContraction(nn.Module):
         """
         b, c, d = x.shape
         nu = self.correlation
-        A1 = jnp.einsum("...k,kc->c...", U[1], W[1])            # [c, D, j1]
+        pr = self.chain_precision
+        A1 = jnp.einsum("...k,kc->c...", U[1], W[1],
+                        precision=pr)                           # [c, D, j1]
         if nu == 1:
-            return jnp.einsum("bci,cDi->bcD", x, A1)
+            return jnp.einsum("bci,cDi->bcD", x, A1, precision=pr)
         # A2: [c, D, j1, i] -> [c, i, (D, j1)]
-        A2 = jnp.einsum("...k,kc->c...", U[2], W[2])
+        A2 = jnp.einsum("...k,kc->c...", U[2], W[2], precision=pr)
         A2 = jnp.transpose(A2, (0, 3, 1, 2)).reshape(c, d, D * d)
         if nu == 3:
             # A3: [c, D, j1, j2, i] -> [c, (i, j2), (D, j1)]
-            A3 = jnp.einsum("...k,kc->c...", U[3], W[3])
+            A3 = jnp.einsum("...k,kc->c...", U[3], W[3], precision=pr)
             A3 = jnp.transpose(A3, (0, 4, 3, 1, 2)).reshape(c, d * d, D * d)
             M = jnp.concatenate([A3, A2], axis=1)               # [c, d²+d, Dd]
-            xx = jnp.einsum("bci,bcj->bcij", x, x).reshape(b, c, d * d)
+            xx = jnp.einsum("bci,bcj->bcij", x, x,
+                            precision=pr).reshape(b, c, d * d)
             z = jnp.concatenate([xx, x], axis=-1)               # [b, c, d²+d]
-            out2 = jnp.einsum("bcz,czq->bcq", z, M)
+            out2 = jnp.einsum("bcz,czq->bcq", z, M, precision=pr)
         else:  # nu == 2
-            out2 = jnp.einsum("bci,ciq->bcq", x, A2)
+            out2 = jnp.einsum("bci,ciq->bcq", x, A2, precision=pr)
         out2 = out2.reshape(b, c, D, d) + A1[None]
-        return jnp.einsum("bcqj,bcj->bcq", out2, x)
+        return jnp.einsum("bcqj,bcj->bcq", out2, x, precision=pr)
 
     def _split_out(self, out, irs_out):
         # out: [n, c, D] in irreps_out block order -> [n, sum c*d_out]

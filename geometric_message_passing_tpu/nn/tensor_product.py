@@ -79,15 +79,24 @@ class EdgeTensorProduct:
     """
 
     def __init__(self, irreps_in: Irreps, irreps_sh: Irreps, irreps_out: Irreps,
-                 path_weight_scale: float = 1.0):
+                 path_weight_scale: float = 1.0, precision=None):
         """``path_weight_scale`` rescales every path weight uniformly — used
         by tensor parallelism, where each shard sees 1/k of the input
         multiplicity so the locally computed fan-in normalization must be
-        corrected by 1/sqrt(k) to match the full model."""
+        corrected by 1/sqrt(k) to match the full model.
+
+        ``precision``: jax matmul precision for the TP einsums (both the CG
+        stage and the per-edge weight contraction).  TPU f32 einsums default
+        to ONE bf16 MXU pass per operand; the reference's numerics are true
+        torch f32, and the TP->contraction chain is the precision-sensitive
+        core of MACE (measured: star MAE 0.0832 default vs 0.0775 f32,
+        ref 0.0766 — RESULTS.md round-3 precision ablation).  'highest'
+        scopes exact-f32 passes to just these einsums."""
         self.irreps_in = Irreps(irreps_in)
         self.irreps_sh = Irreps(irreps_sh)
         self.irreps_out = Irreps(irreps_out)
         self.path_weight_scale = float(path_weight_scale)
+        self.precision = precision
         paths = tp_paths(self.irreps_in, self.irreps_sh, self.irreps_out)
         # group paths by output irrep (stable): makes both the weight layout
         # and the combined-CG M axis contiguous per i_out, so the second
@@ -161,7 +170,8 @@ class EdgeTensorProduct:
         u = self._uniform_mul
         xr = _to_channel_layout(x, self.irreps_in)        # [E, u, L]
         C = jnp.asarray(self._C, dtype=x.dtype)
-        tmp = jnp.einsum("...ua,...b,abm->...um", xr, sh, C)   # [E, u, M]
+        tmp = jnp.einsum("...ua,...b,abm->...um", xr, sh, C,
+                         precision=self.precision)        # [E, u, M]
         outs = [None] * len(self.irreps_out)
         for g, (i_out, n_p, m0, w0, d3, _, mul_o) in enumerate(self._groups):
             T = tmp[..., m0 : m0 + n_p * d3].reshape(
@@ -173,7 +183,8 @@ class EdgeTensorProduct:
             nW = n_p * u * mul_o
             W = ws[g] if ws is not None else weights[..., w0 : w0 + nW]
             W = W.reshape(W.shape[:-1] + (n_p * u, mul_o))  # [E, (p,u), w]
-            outs[i_out] = jnp.einsum("...km,...kw->...wm", T, W)
+            outs[i_out] = jnp.einsum("...km,...kw->...wm", T, W,
+                                     precision=self.precision)
         for k, (mul, ir) in enumerate(self.irreps_out):
             if outs[k] is None:
                 outs[k] = jnp.zeros(x.shape[:-1] + (mul, ir.dim), x.dtype)
@@ -199,7 +210,8 @@ class EdgeTensorProduct:
             )
             w_off += nW
             tmp = (p.path_weight * self.path_weight_scale) * jnp.einsum(
-                "...ua,...b,abm->...um", xin, sh_blk, C
+                "...ua,...b,abm->...um", xin, sh_blk, C,
+                precision=self.precision
             )
             g = groups.setdefault(p.i_out, ([], []))
             g[0].append(tmp)
@@ -208,7 +220,8 @@ class EdgeTensorProduct:
         for i_out, (tmps, ws) in groups.items():
             T = tmps[0] if len(tmps) == 1 else jnp.concatenate(tmps, axis=-2)
             W = ws[0] if len(ws) == 1 else jnp.concatenate(ws, axis=-2)
-            outs[i_out] = jnp.einsum("...xw,...xm->...wm", W, T)
+            outs[i_out] = jnp.einsum("...xw,...xm->...wm", W, T,
+                                     precision=self.precision)
         for k, (mul, ir) in enumerate(self.irreps_out):
             if outs[k] is None:
                 outs[k] = jnp.zeros(x.shape[:-1] + (mul, ir.dim), x.dtype)
