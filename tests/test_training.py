@@ -310,9 +310,102 @@ def test_stepwise_nan_recovery(tmp_path):
                          lambda x: jnp.full_like(x, jnp.nan), vs))
 
 
+def test_resident_checkpoint_resume_bitwise(tmp_path):
+    """Round-3: fault tolerance on the PRODUCTION (resident) engine.
+    Kill-and-resume at a chunk boundary reproduces the uninterrupted run
+    bitwise (same shuffle stream — derived from (key, epoch) — and the
+    dropout rng rides the saved carry); checkpointing itself must not
+    perturb numerics either."""
+    from geometric_message_passing_tpu.experiments.train import (
+        PlateauConfig, fit_resident, init_variables, tiny_init_batch)
+    from geometric_message_passing_tpu.graph import GraphLoader, pad_sizes
+
+    data = ds.create_star_graphs(num=40, fold=[3, 4], dim=3, target="max",
+                                 seed=9)
+    tr, va, te = random_split(data, [0.5, 0.2, 0.3], seed=0)
+    pad = pad_sizes(data, 10)
+    kw = dict(batch_size=10, pad=pad)
+    tr_l = GraphLoader(tr, shuffle=True, seed=0, **kw)
+    va_l, te_l = GraphLoader(va, **kw), GraphLoader(te, **kw)
+    model = EGNNModel(num_layers=1, emb_dim=16, in_dim=1, out_dim=1)
+    variables = init_variables(model, seed_everything(0), tiny_init_batch(tr_l))
+    plateau = PlateauConfig(mode="max", factor=0.9, patience=2, min_lr=1e-4)
+    args = dict(n_epochs=6, lr=5e-4, task="regression", cosine=False,
+                plateau=plateau, seed=1, epoch_chunk=4)
+
+    full = fit_resident(model, variables, tr_l, va_l, te_l, **args)
+
+    ckdir = str(tmp_path / "ck")
+    # "crash" after 4 epochs: run with checkpointing but n_epochs=4
+    partial_args = dict(args, n_epochs=4)
+    fit_resident(model, variables, tr_l, va_l, te_l,
+                 checkpoint_dir=ckdir, checkpoint_every=2, **partial_args)
+    # resume to 6 epochs from the same directory
+    resumed = fit_resident(model, variables, tr_l, va_l, te_l,
+                           checkpoint_dir=ckdir, checkpoint_every=2, **args)
+    np.testing.assert_array_equal(resumed.perf_per_epoch,
+                                  full.perf_per_epoch)
+    assert resumed.best_val == full.best_val
+    assert resumed.test == full.test
+
+
+def test_resident_nan_recovery(tmp_path):
+    """NaN watchdog on the resident engine: a fault injected at a chunk
+    start is detected from the non-finite chunk losses, rolled back to the
+    latest checkpoint, and the run finishes with the un-faulted result."""
+    import jax
+    import jax.numpy as jnp
+
+    from geometric_message_passing_tpu.experiments.train import (
+        fit_resident, init_variables, tiny_init_batch)
+    from geometric_message_passing_tpu.graph import GraphLoader, pad_sizes
+
+    data = ds.create_star_graphs(num=40, fold=[3, 4], dim=3, target="max",
+                                 seed=9)
+    tr, va, te = random_split(data, [0.5, 0.2, 0.3], seed=0)
+    pad = pad_sizes(data, 10)
+    kw = dict(batch_size=10, pad=pad)
+    tr_l = GraphLoader(tr, shuffle=True, seed=0, **kw)
+    va_l, te_l = GraphLoader(va, **kw), GraphLoader(te, **kw)
+    model = EGNNModel(num_layers=1, emb_dim=16, in_dim=1, out_dim=1)
+    variables = init_variables(model, seed_everything(0), tiny_init_batch(tr_l))
+    args = dict(n_epochs=6, lr=5e-4, task="regression", cosine=True, seed=1,
+                epoch_chunk=2)
+
+    clean = fit_resident(model, variables, tr_l, va_l, te_l, **args,
+                         checkpoint_dir=str(tmp_path / "a"),
+                         checkpoint_every=2)
+
+    fired = []
+
+    def poison(epoch, vs):
+        if epoch == 4 and not fired:
+            fired.append(epoch)
+            return jax.tree.map(lambda x: jnp.full_like(x, jnp.nan), vs)
+        return vs
+
+    faulted = fit_resident(model, variables, tr_l, va_l, te_l, **args,
+                           checkpoint_dir=str(tmp_path / "b"),
+                           checkpoint_every=2, nan_recovery=True,
+                           inject_fault=poison)
+    assert fired == [4]
+    assert faulted.best_val == clean.best_val
+    assert faulted.test == clean.test
+    np.testing.assert_array_equal(faulted.perf_per_epoch,
+                                  clean.perf_per_epoch)
+
+    # unrecoverable: fault fires every chunk -> raises after max_recoveries
+    with pytest.raises(FloatingPointError):
+        fit_resident(model, variables, tr_l, va_l, te_l, **args,
+                     checkpoint_dir=str(tmp_path / "c"), checkpoint_every=2,
+                     nan_recovery=True, max_recoveries=2,
+                     inject_fault=lambda e, vs: jax.tree.map(
+                         lambda x: jnp.full_like(x, jnp.nan), vs))
+
+
 def test_repeat_protocol_checkpoint_threading(tmp_path):
     """run_experiment_reg(checkpoint_dir=...) gives each repeat its own
-    checkpoint subdirectory and routes through the fault-tolerant stepwise
+    checkpoint subdirectory on the fault-tolerant (resident, round-3)
     engine; a re-invocation with the same dir resumes (runs stay finite and
     reproduce the first invocation's metrics)."""
     from geometric_message_passing_tpu.experiments.train import (
