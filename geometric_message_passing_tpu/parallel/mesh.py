@@ -126,3 +126,71 @@ def make_hybrid_mesh(ici_shape: Tuple[int, ...],
         devices=jax.devices(),
     )
     return Mesh(arr, axis_names)
+
+
+def make_multihost_mesh(axis_names: Sequence[str] = ("dp",),
+                        ici_shape: Optional[Tuple[int, ...]] = None,
+                        dcn_shape: Optional[Tuple[int, ...]] = None) -> Mesh:
+    """One-call multi-host mesh: ``init_distributed()`` + the bandwidth-
+    hierarchy-aware default layout — the LEADING axis (conventionally
+    ``dp``) spans processes over DCN, every other axis lives inside a
+    slice on ICI.  On a single process this degrades to a plain local
+    mesh with axis 0 sized 1 (the same program then runs unchanged on a
+    pod slice).  Pass explicit shapes to override the defaults.
+
+    Convention for data: shard the batch over the leading axis and feed
+    each process its own rows (``process_local_slice`` +
+    ``global_batch_from_local``); gradient psums over ``dp`` are the only
+    DCN traffic, which is the layout the scaling literature prescribes
+    for data parallelism across slow links.
+    """
+    init_distributed()
+    nproc = jax.process_count()
+    nlocal = jax.local_device_count()
+    n_axes = len(axis_names)
+    if ici_shape is None:
+        # all local devices on the LAST axis, middle axes singleton
+        ici_shape = (1,) * (n_axes - 1) + (nlocal,) if n_axes > 1 \
+            else (nlocal,)
+    if dcn_shape is None:
+        dcn_shape = (nproc,) + (1,) * (n_axes - 1)
+    if nproc == 1:
+        # hybrid mesh construction requires >1 granule per DCN axis; the
+        # single-process equivalent is a plain local mesh of the same shape
+        shape = tuple(i * d for i, d in zip(ici_shape, dcn_shape))
+        return make_mesh(shape, axis_names)
+    return make_hybrid_mesh(ici_shape, dcn_shape, axis_names)
+
+
+def process_local_slice(n: int, process_index: Optional[int] = None,
+                        process_count: Optional[int] = None) -> slice:
+    """This process's contiguous row range of a length-``n`` global batch
+    axis (the multi-host batch-sharding convention: contiguous per-process
+    blocks, process order = process_index order, matching the device order
+    of ``make_multihost_mesh``'s leading axis).  ``n`` must divide evenly —
+    pad the global batch to a multiple of ``process_count`` upstream (the
+    same padding discipline every static-shape batch here already uses)."""
+    p = jax.process_index() if process_index is None else process_index
+    np_ = jax.process_count() if process_count is None else process_count
+    if n % np_:
+        raise ValueError(
+            f"global batch length {n} must be divisible by process_count "
+            f"{np_}; pad the batch (mask rows) to a multiple first")
+    per = n // np_
+    return slice(p * per, (p + 1) * per)
+
+
+def global_batch_from_local(mesh: Mesh, local_batch, axis: str = "dp"):
+    """Assemble the globally-sharded on-device batch from THIS process's
+    local (numpy) shard — each process passes only its ``process_local_
+    slice`` rows and JAX stitches the global logical array without any
+    cross-host data movement (`jax.make_array_from_process_local_data`).
+
+    Works identically on one process (local == global), so tests exercise
+    the exact code path that runs on a pod."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        local_batch,
+    )
