@@ -112,6 +112,31 @@ def pipeline_apply(stage_fn: Callable, stage_params, x_mb, aux_mb: Tuple = (),
     return mapped(stage_params, x_mb, *aux_mb)
 
 
+def egnn_pipeline_stage(emb_dim: int, activation: str = "relu",
+                        norm: str = "layer", aggr: str = "sum"):
+    """The REAL zoo EGNN hidden layer as a pipeline stage (round 3 — the
+    flagship PP demo is a production layer, not a toy matmul stage).
+
+    Returns ``(layer, stage_fn)``: ``layer`` is ``models.egnn.EGNNLayer``
+    (init it per stage, stack with ``stack_stage_params``), ``stage_fn``
+    carries the model-level state ``x = {"h": [N, D], "pos": [N, 3]}``
+    through one layer with the EGNNModel residual-h / non-residual-pos
+    update (egnn.py:71-79 of the reference), taking per-microbatch aux
+    ``(senders, receivers, edge_mask)``.  Suitable for both
+    ``pipeline_apply`` and ``sequential_apply``."""
+    from ..models.egnn import EGNNLayer
+
+    layer = EGNNLayer(emb_dim=emb_dim, activation=activation, norm=norm,
+                      aggr=aggr)
+
+    def stage_fn(params, x, senders, receivers, edge_mask):
+        upd, pos2 = layer.apply({"params": params}, x["h"], x["pos"],
+                                senders, receivers, edge_mask)
+        return {"h": x["h"] + upd, "pos": pos2}
+
+    return layer, stage_fn
+
+
 def sequential_apply(stage_fn: Callable, stage_params, x_mb,
                      aux_mb: Tuple = ()):
     """Single-device reference: the same computation without the pipeline
