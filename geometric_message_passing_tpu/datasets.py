@@ -386,6 +386,37 @@ def generate_invariant_dataset(num=5, fold=3, dim=2, target="max", seed=0) -> Li
     return dataset
 
 
+def create_molecular_boxes(num=1, n_nodes=10_000, cutoff=3.0,
+                           avg_degree=14.0, n_species=8, seed=0,
+                           max_num_neighbors=None) -> List[Graph]:
+    """Large-scale synthetic molecular boxes — the scale-benchmark dataset
+    (round 3; no reference counterpart: the reference never exceeds ~30
+    nodes/graph).  ``n_nodes`` atoms uniform in a cubic box sized so the
+    expected radius-graph degree at ``cutoff`` is ``avg_degree``; edges come
+    from ops.radius_graph (the native C++ cell list when built — this is
+    the generator that gives the radius-graph builder its product
+    consumer).  Target: mean coordination number / 10 (an easy invariant
+    regression target; the benchmark measures throughput, not learning).
+    """
+    from .ops.radius_graph import radius_graph
+
+    density = avg_degree / (4.0 / 3.0 * np.pi * cutoff**3)
+    side = (n_nodes / density) ** (1.0 / 3.0)
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(num):
+        pos = rng.uniform(0.0, side, size=(n_nodes, 3)).astype(np.float32)
+        atoms = rng.integers(0, n_species, n_nodes).astype(np.int32)
+        edge_index = radius_graph(
+            pos, cutoff, max_num_neighbors=max_num_neighbors
+        )
+        y = np.asarray(
+            [edge_index.shape[1] / max(n_nodes, 1) / 10.0], np.float32
+        )
+        out.append(Graph(atoms, edge_index, pos, y))
+    return out
+
+
 dataset_registry = {
     "star": create_star_graphs,
     "paired_star": create_paired_star_graphs,
@@ -398,4 +429,5 @@ dataset_registry = {
     "four_body_nonchiral": create_four_body_nonchiral_envs,
     "four_body_chiral": create_four_body_chiral_envs,
     "true_chiral": create_true_chiral_envs,
+    "molecular_box": create_molecular_boxes,
 }

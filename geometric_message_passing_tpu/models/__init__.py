@@ -6,6 +6,7 @@ from .egnn import EGNNModel, MPNNModel  # noqa
 from .egnn_fused import EGNNFusedModel  # noqa
 from .gvpgnn import GVPGNNModel  # noqa
 from .mace import MACEModel  # noqa
+from .mace_ff import MACEForceField  # noqa
 from .schnet import SchNetModel  # noqa
 from .tfn import TFNModel  # noqa
 
@@ -16,6 +17,7 @@ model_registry = {
     "gvp": GVPGNNModel,
     "tfn": TFNModel,
     "mace": MACEModel,
+    "mace_ff": MACEForceField,
     "mpnn": MPNNModel,
 }
 

@@ -137,6 +137,64 @@ class _InteractionBase(nn.Module):
     target_irreps: Irreps
     hidden_irreps: Irreps
     avg_num_neighbors: float = 1.0
+    # Process the edge axis in chunks of this many edges (round 3, the
+    # >=100k-edge molecular-box regime): the per-edge TP weights and the
+    # combined-CG intermediate are O(E * weight_numel) / O(E * u * M)
+    # floats — tens of GB at 1M edges.  Chunking runs gather -> weight MLP
+    # -> uvu TP -> masked segment-sum per chunk inside an nn.scan with a
+    # rematerialized body, so the working set is ONE chunk of per-edge
+    # intermediates plus the [n, out] accumulator (fwd AND bwd).  None =
+    # single-pass (identical numerics up to sum reassociation).
+    edge_chunk: Optional[int] = None
+
+    def _conv(self, tp, node_feats, edge_attrs, edge_feats, senders,
+              receivers, edge_mask, num_nodes, widths=(64, 64, 64)):
+        """gather -> weight MLP -> weighted TP -> masked segment-sum,
+        optionally edge-chunked.  The weight net is CONSTRUCTED inside the
+        (possibly lifted) body under a fixed name, so both modes create
+        identical parameter trees (flax lifted transforms cannot close over
+        submodules — modules must be built inside the transformed fn)."""
+        E = senders.shape[0]
+        C = self.edge_chunk
+        all_w = widths + (tp.weight_numel,)
+        if C is None or E <= C:
+            tp_w = E3FullyConnectedNet(all_w, name="conv_tp_weights")(
+                edge_feats)
+            mji = tp.apply(node_feats[senders], edge_attrs, tp_w)
+            return segment_sum(mji, receivers, num_nodes, mask=edge_mask)
+        n_chunks = -(-E // C)
+        pad = n_chunks * C - E
+        mask = edge_mask if edge_mask is not None else jnp.ones(E, bool)
+
+        def pad_to(x, fill):
+            if not pad:
+                return x
+            tail = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+            return jnp.concatenate([x, tail], axis=0)
+
+        xs = (
+            pad_to(senders, 0).reshape(n_chunks, C),
+            pad_to(receivers, 0).reshape(n_chunks, C),
+            pad_to(edge_attrs, 0).reshape((n_chunks, C) +
+                                          edge_attrs.shape[1:]),
+            pad_to(edge_feats, 0).reshape((n_chunks, C) +
+                                          edge_feats.shape[1:]),
+            pad_to(mask, False).reshape(n_chunks, C),
+        )
+
+        def body(mdl, carry, x):
+            acc, nf = carry
+            s, r, ea, ef, m = x
+            w = E3FullyConnectedNet(all_w, name="conv_tp_weights")(ef)
+            mji = tp.apply(nf[s], ea, w)
+            return (acc + segment_sum(mji, r, num_nodes, mask=m), nf), ()
+
+        body = nn.remat(body, prevent_cse=False)
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False})
+        acc0 = jnp.zeros((num_nodes, tp.irreps_out.dim), node_feats.dtype)
+        (acc, _), _ = scan(self, (acc0, node_feats), xs)
+        return acc
 
     def _tp(self):
         return EdgeTensorProductUVU(
@@ -245,11 +303,8 @@ class RealAgnosticInteractionBlock(_InteractionBase):
         tp = self._tp()
         irreps_out = Irreps(self.target_irreps)
         node_feats = IrrepsLinear(nfi, nfi, name="linear_up")(node_feats)
-        tp_w = E3FullyConnectedNet(
-            (64, 64, 64, tp.weight_numel), name="conv_tp_weights",
-        )(edge_feats)
-        mji = tp.apply(node_feats[senders], edge_attrs, tp_w)
-        message = segment_sum(mji, receivers, num_nodes, mask=edge_mask)
+        message = self._conv(tp, node_feats, edge_attrs, edge_feats,
+                             senders, receivers, edge_mask, num_nodes)
         message = IrrepsLinear(tp.irreps_out, irreps_out, name="linear")(
             message
         ) / self.avg_num_neighbors
@@ -275,11 +330,8 @@ class RealAgnosticResidualInteractionBlock(_InteractionBase):
             name="skip_tp",
         )(node_feats, node_attrs)
         node_feats = IrrepsLinear(nfi, nfi, name="linear_up")(node_feats)
-        tp_w = E3FullyConnectedNet(
-            (64, 64, 64, tp.weight_numel), name="conv_tp_weights",
-        )(edge_feats)
-        mji = tp.apply(node_feats[senders], edge_attrs, tp_w)
-        message = segment_sum(mji, receivers, num_nodes, mask=edge_mask)
+        message = self._conv(tp, node_feats, edge_attrs, edge_feats,
+                             senders, receivers, edge_mask, num_nodes)
         message = IrrepsLinear(tp.irreps_out, irreps_out, name="linear")(
             message
         ) / self.avg_num_neighbors
