@@ -42,17 +42,26 @@ def gvp_chain(s, vx, vy, vz, weights: Sequence, n_layers: int):
     """The GVP chain on component planes.  Exactly the math of
     nn/gvp.py::GVP (vector_gate=True, act relu/sigmoid, last layer linear),
     with norm_no_nan's clip-eps semantics."""
+    # ROUND-3 RELAYOUT: the three component planes are stacked ROW-wise
+    # into one [3E, nv] operand for the Wh/Wv GEMMs (one dot each instead
+    # of three 16-wide dots) — per-row results are identical, but the MXU
+    # sees 3x the rows per launch instead of three narrow GEMMs wasting
+    # lanes (the round-2 lead from RESULTS.md's fused-GVP verdict).
     for k in range(n_layers):
         Wh, Wv, Ws, bs, Wsv, bsv = weights[k * N_W : (k + 1) * N_W]
         last = k == n_layers - 1
-        vhx, vhy, vhz = vx @ Wh, vy @ Wh, vz @ Wh
+        E = s.shape[0]
+        v_all = jnp.concatenate([vx, vy, vz], axis=0)       # [3E, vi]
+        vh_all = v_all @ Wh                                 # ONE GEMM
+        vhx, vhy, vhz = vh_all[:E], vh_all[E : 2 * E], vh_all[2 * E :]
         q = vhx * vhx + vhy * vhy + vhz * vhz
         vn = jnp.sqrt(jnp.clip(q, min=1e-8))
         spre = jnp.concatenate([s, vn], axis=-1) @ Ws + bs
-        vox, voy, voz = vhx @ Wv, vhy @ Wv, vhz @ Wv
+        vo_all = vh_all @ Wv                                # ONE GEMM
         gate_in = spre if last else jax.nn.sigmoid(spre)
         g = jax.nn.sigmoid(gate_in @ Wsv + bsv)
-        vx, vy, vz = vox * g, voy * g, voz * g
+        v_all = vo_all * jnp.concatenate([g, g, g], axis=0)
+        vx, vy, vz = v_all[:E], v_all[E : 2 * E], v_all[2 * E :]
         s = spre if last else jnp.maximum(spre, 0.0)
     return s, vx, vy, vz
 
@@ -66,21 +75,29 @@ def _edge_block_fn(oh_send, oh_recv, emask, n_layers):
         mm = lambda a, b: jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        s_j, s_i = mm(oh_send, s), mm(oh_recv, s)
-        vx_j, vx_i = mm(oh_send, vx), mm(oh_recv, vx)
-        vy_j, vy_i = mm(oh_send, vy), mm(oh_recv, vy)
-        vz_j, vz_i = mm(oh_send, vz), mm(oh_recv, vz)
+        # ROUND-3 RELAYOUT: gather [s | vx | vy | vz] through ONE wide
+        # one-hot GEMM per endpoint (2 dots instead of 8 narrow ones — the
+        # 16-wide vector-plane gathers wasted MXU lanes), and reduce the
+        # concatenated message planes through ONE dot instead of 4.
+        so, nv = s.shape[1], vx.shape[1]
+        feat = jnp.concatenate([s, vx, vy, vz], axis=-1)    # [N, so+3nv]
+        f_j, f_i = mm(oh_send, feat), mm(oh_recv, feat)
+        sl = lambda f, k: f[:, so + k * nv : so + (k + 1) * nv]
         # tuple_cat((s_j, V_j), edge, (s_i, V_i))  (gvp_layer.py:304-311)
-        s_cat = jnp.concatenate([s_j, es, s_i], axis=-1)
-        cx = jnp.concatenate([vx_j, evx, vx_i], axis=-1)
-        cy = jnp.concatenate([vy_j, evy, vy_i], axis=-1)
-        cz = jnp.concatenate([vz_j, evz, vz_i], axis=-1)
+        s_cat = jnp.concatenate([f_j[:, :so], es, f_i[:, :so]], axis=-1)
+        cx = jnp.concatenate([sl(f_j, 0), evx, sl(f_i, 0)], axis=-1)
+        cy = jnp.concatenate([sl(f_j, 1), evy, sl(f_i, 1)], axis=-1)
+        cz = jnp.concatenate([sl(f_j, 2), evz, sl(f_i, 2)], axis=-1)
         ms, mvx, mvy, mvz = gvp_chain(s_cat, cx, cy, cz, ws, n_layers)
         ohT = oh_recv * emask[:, None]
-        red = lambda m: jax.lax.dot_general(
-            ohT, m, (((0,), (0,)), ((), ())),
+        m_all = jnp.concatenate([ms, mvx, mvy, mvz], axis=-1)
+        r = jax.lax.dot_general(
+            ohT, m_all, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return red(ms), red(mvx), red(mvy), red(mvz)
+        mo = ms.shape[1]
+        wv = mvx.shape[1]
+        return (r[:, :mo], r[:, mo : mo + wv],
+                r[:, mo + wv : mo + 2 * wv], r[:, mo + 2 * wv :])
 
     return f
 
@@ -181,15 +198,24 @@ def gvp_message_xla(send, recv, emask, s, vx, vy, vz, es, evx, evy, evz,
     from .scatter import segment_sum
 
     n = s.shape[0]
-    s_cat = jnp.concatenate([s[send], es, s[recv]], axis=-1)
-    cx = jnp.concatenate([vx[send], evx, vx[recv]], axis=-1)
-    cy = jnp.concatenate([vy[send], evy, vy[recv]], axis=-1)
-    cz = jnp.concatenate([vz[send], evz, vz[recv]], axis=-1)
+    # ROUND-3 RELAYOUT: one wide gather per endpoint and ONE wide masked
+    # segment reduction (with the count as an extra ones column) instead of
+    # 8 narrow gathers + 5 narrow one-hot reduction GEMMs.
+    so, nv = s.shape[1], vx.shape[1]
+    feat = jnp.concatenate([s, vx, vy, vz], axis=-1)
+    f_j, f_i = feat[send], feat[recv]
+    sl = lambda f, k: f[:, so + k * nv : so + (k + 1) * nv]
+    s_cat = jnp.concatenate([f_j[:, :so], es, f_i[:, :so]], axis=-1)
+    cx = jnp.concatenate([sl(f_j, 0), evx, sl(f_i, 0)], axis=-1)
+    cy = jnp.concatenate([sl(f_j, 1), evy, sl(f_i, 1)], axis=-1)
+    cz = jnp.concatenate([sl(f_j, 2), evz, sl(f_i, 2)], axis=-1)
     ms, mvx, mvy, mvz = gvp_chain(s_cat, cx, cy, cz, list(weights), n_layers)
-    red = lambda m: segment_sum(m, recv, n, mask=emask)
-    cnt = segment_sum(jnp.ones((send.shape[0], 1), s.dtype), recv, n,
-                      mask=emask)
-    return red(ms), red(mvx), red(mvy), red(mvz), cnt
+    ones = jnp.ones((send.shape[0], 1), s.dtype)
+    m_all = jnp.concatenate([ms, mvx, mvy, mvz, ones], axis=-1)
+    r = segment_sum(m_all, recv, n, mask=emask)
+    mo, wv = ms.shape[1], mvx.shape[1]
+    return (r[:, :mo], r[:, mo : mo + wv], r[:, mo + wv : mo + 2 * wv],
+            r[:, mo + 2 * wv : mo + 3 * wv], r[:, mo + 3 * wv :])
 
 
 def make_gvp_message_fused(dims: Tuple[Tuple[int, int], ...],
