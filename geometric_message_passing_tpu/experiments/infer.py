@@ -97,8 +97,13 @@ class Predictor:
     def predict(self, graphs: Sequence) -> np.ndarray:
         """Run the model over ``graphs``; returns [len(graphs), out_dim]."""
         if len(graphs) == 0:
-            return np.zeros((0, getattr(self.model, "out_dim", 0)),
-                            np.float32)
+            out_dim = getattr(self.model, "out_dim", None)
+            if out_dim is None:
+                raise ValueError(
+                    "predict([]) needs the model to expose out_dim to shape "
+                    "the empty result; call with at least one graph instead"
+                )
+            return np.zeros((0, out_dim), self.y_dtype)
         self._grow_bucket(graphs)
         loader = GraphLoader(
             graphs, self.batch_size, shuffle=False, y_dtype=self.y_dtype,
