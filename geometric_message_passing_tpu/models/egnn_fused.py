@@ -94,7 +94,14 @@ class FusedEGNNLayer(nn.Module):
             return packed
 
         msg_packed = packed[: _MSG_ROWS(d)]
-        if self.use_pallas and jax.default_backend() != "cpu":
+        # The fused kernel's one-hot gather/scatter layout holds [block, N]
+        # operands in VMEM — structurally a toy-regime design.  At
+        # molecular-box scale (measured: 10k nodes / 129k edges) its Mosaic
+        # compile crashes the remote compile helper, and the XLA path is
+        # the production path anyway (scripts/bench_scale.py); dispatch on
+        # size so EGNNFusedModel is safe at any scale.
+        fits_vmem = h.shape[0] <= 4096
+        if self.use_pallas and fits_vmem and jax.default_backend() != "cpu":
             fused = make_egnn_message_fused(d)
             msg_aggr, pos_sum, cnt = fused(
                 senders, receivers, edge_mask, h, pos, msg_packed

@@ -267,8 +267,18 @@ class EdgeTensorProductUVU:
             self._C = _combined_cg(self.paths, self.irreps_in, self.irreps_sh)
             self._d3 = np.array([p.ir_out.dim for p in self.paths])
 
+    # Above this edge count the per-path form wins: the combined-CG stage
+    # contracts a DENSE [L, S, M] constant (~94% zeros at lmax 3) — the
+    # right trade in the toy regime where steps are KERNEL-COUNT-bound,
+    # but ~17x the necessary FLOPs once the chip has real work per launch
+    # (measured: mace_ff molecular boxes, RESULTS.md round 3).  Per-path
+    # contracts only the allowed (l1,l2,l3) blocks.
+    COMBINED_MAX_EDGES = 4096   # toy batches ~1.3-4.2k edges stay combined;
+    #                             scale chunks (>=8192) go per-path
+
     def apply(self, x, sh, weights):
-        if self._uniform_mul is not None:
+        large = x.shape[0] > self.COMBINED_MAX_EDGES
+        if self._uniform_mul is not None and not large:
             return self._apply_combined(x, sh, weights)
         return self._apply_per_path(x, sh, weights)
 

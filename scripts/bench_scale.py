@@ -43,7 +43,7 @@ MODELS = {
     "egnn": dict(num_layers=4, emb_dim=128),
     "egnn_fused": dict(num_layers=4, emb_dim=128),
     "mace_ff": dict(num_layers=2, emb_dim=64, max_ell=3, correlation=3,
-                    edge_chunk=32768),
+                    edge_chunk=8192),
     # smaller fallbacks tried automatically on OOM
 }
 FALLBACKS = {

@@ -107,3 +107,23 @@ def test_mace_ff_trains_a_step():
     assert np.isfinite(float(loss))
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree.leaves(params))
+
+
+def test_uvu_per_path_matches_combined():
+    """The large-E dispatch (per-path blocks instead of the dense combined
+    CG) is a pure FLOP-saving reassociation — forms must agree exactly."""
+    from geometric_message_passing_tpu.irreps import Irreps
+    from geometric_message_passing_tpu.nn.tensor_product import (
+        EdgeTensorProductUVU)
+
+    tp = EdgeTensorProductUVU(
+        Irreps("4x0e+4x1o+4x2e"), Irreps("1x0e+1x1o+1x2e"),
+        Irreps("4x0e+4x1o+4x2e"))
+    rng = np.random.default_rng(0)
+    E = 33
+    x = jnp.asarray(rng.standard_normal((E, tp.irreps_in.dim)), jnp.float32)
+    sh = jnp.asarray(rng.standard_normal((E, tp.irreps_sh.dim)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((E, tp.weight_numel)), jnp.float32)
+    a = np.asarray(tp._apply_combined(x, sh, w))
+    b = np.asarray(tp._apply_per_path(x, sh, w))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
