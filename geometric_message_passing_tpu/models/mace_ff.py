@@ -58,6 +58,9 @@ class MACEForceField(nn.Module):
     avg_num_neighbors: float = 12.0
     pool: str = "sum"
     edge_chunk: Optional[int] = None
+    # node-block size for the per-node giants (symmetric contraction,
+    # skip-FCTP); required at >=100k nodes (compile-time buffer planning)
+    node_chunk: Optional[int] = 16384
     # exact-f32 einsum passes for the equivariant core (see
     # MACEModel.tp_precision); default on, matching the zoo MACE.
     tp_precision: Optional[str] = "highest"
@@ -94,6 +97,7 @@ class MACEForceField(nn.Module):
                 hidden_irreps=hidden,
                 avg_num_neighbors=self.avg_num_neighbors,
                 edge_chunk=self.edge_chunk,
+                node_chunk=self.node_chunk,
                 name=f"interaction_{i}",
             )(node_attrs, h, edge_sh, edge_feats, batch.senders,
               batch.receivers, batch.edge_mask)
@@ -105,6 +109,7 @@ class MACEForceField(nn.Module):
                 element_dependent=False,
                 num_elements=self.in_dim,
                 precision=self.tp_precision,
+                node_chunk=self.node_chunk,
                 name=f"product_{i}",
             )(m, sc, None)
             node_e = IrrepsLinear(hidden, Irreps("1x0e"),

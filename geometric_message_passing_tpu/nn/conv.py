@@ -156,9 +156,56 @@ class EquivariantProductBasisBlock(nn.Module):
     tp_axis: Optional[str] = None
     tp_size: int = 1
     precision: Optional[str] = None  # matmul precision for chain + linear
+    # Process nodes in blocks of this size (round 3, molecular-box scale):
+    # the symmetric contraction materializes O(n * c * d^2) intermediates
+    # (x (x) x and the projected chain) — several GB at n >= 100k, which
+    # crashes the TPU compile helper's buffer planning.  Node blocks are
+    # independent, so an nn.scan with a rematerialized body bounds the
+    # working set to one block.  None = single pass (identical numerics).
+    node_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, node_feats, sc=None, node_attrs=None):
+        import jax.numpy as jnp
+
+        n = node_feats.shape[0]
+        C = self.node_chunk
+        if C is None or n <= C or self.tp_axis is not None:
+            return self._block(node_feats, sc, node_attrs)
+        assert not self.element_dependent or node_attrs is not None
+        n_chunks = -(-n // C)
+        pad = n_chunks * C - n
+
+        def pad_to(x):
+            if x is None or not pad:
+                return x
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+        nf = pad_to(node_feats).reshape((n_chunks, C) + node_feats.shape[1:])
+        xs = [nf]
+        has_sc = sc is not None
+        has_attrs = node_attrs is not None
+        if has_sc:
+            xs.append(pad_to(sc).reshape((n_chunks, C) + sc.shape[1:]))
+        if has_attrs:
+            xs.append(pad_to(node_attrs).reshape(
+                (n_chunks, C) + node_attrs.shape[1:]))
+
+        def body(mdl, carry, x):
+            it = iter(x)
+            nf_c = next(it)
+            sc_c = next(it) if has_sc else None
+            at_c = next(it) if has_attrs else None
+            return carry, mdl._block(nf_c, sc_c, at_c)
+
+        body = nn.remat(body, prevent_cse=False)
+        scan = nn.scan(body, variable_broadcast=["params", "u_tables"],
+                       split_rngs={"params": False})
+        _, out = scan(self, 0, tuple(xs))
+        return out.reshape((n_chunks * C,) + out.shape[2:])[:n]
+
+    def _block(self, node_feats, sc=None, node_attrs=None):
         from .symmetric_contraction import SymmetricContraction
         from .equivariant import IrrepsLinear
 

@@ -146,9 +146,17 @@ class _InteractionBase(nn.Module):
     # intermediates plus the [n, out] accumulator (fwd AND bwd).  None =
     # single-pass (identical numerics up to sum reassociation).
     edge_chunk: Optional[int] = None
+    # node-block size for the skip-FCTP (see FullyConnectedTensorProduct.
+    # node_chunk) — the other node-level giant at >=100k nodes.
+    node_chunk: Optional[int] = None
+    # accumulator-element threshold above which the post-conv linear is
+    # folded into the edge chunks (see _conv); class-level so tests can
+    # force the fold path at toy sizes.
+    FOLD_ACC_ELEMS = 2 ** 28
 
     def _conv(self, tp, node_feats, edge_attrs, edge_feats, senders,
-              receivers, edge_mask, num_nodes, widths=(64, 64, 64)):
+              receivers, edge_mask, num_nodes, widths=(64, 64, 64),
+              post=None, post_dim=None):
         """gather -> weight MLP -> weighted TP -> masked segment-sum,
         optionally edge-chunked.  The weight net is CONSTRUCTED inside the
         (possibly lifted) body under a fixed name, so both modes create
@@ -161,7 +169,18 @@ class _InteractionBase(nn.Module):
             tp_w = E3FullyConnectedNet(all_w, name="conv_tp_weights")(
                 edge_feats)
             mji = tp.apply(node_feats[senders], edge_attrs, tp_w)
-            return segment_sum(mji, receivers, num_nodes, mask=edge_mask)
+            out = segment_sum(mji, receivers, num_nodes, mask=edge_mask)
+            return post(out) if post is not None else out
+        # Fold the post-conv linear into each chunk when the [N,
+        # tp.irreps_out.dim] accumulator would itself be a giant (~3.8 GB
+        # at 100k nodes, lmax 3, 64 channels — fails compile-time buffer
+        # planning): linear commutes with segment-sum, so applying it
+        # per-edge inside the chunk is EXACT and shrinks the accumulator
+        # to the target width, at ~avg_degree x the linear FLOPs (GEMMs —
+        # cheap next to the TP).  ``post`` is built by the caller with a
+        # FIXED submodule name so parameter trees match the unfolded path.
+        fold = (post is not None
+                and num_nodes * tp.irreps_out.dim > self.FOLD_ACC_ELEMS)
         n_chunks = -(-E // C)
         pad = n_chunks * C - E
         mask = edge_mask if edge_mask is not None else jnp.ones(E, bool)
@@ -182,19 +201,29 @@ class _InteractionBase(nn.Module):
             pad_to(mask, False).reshape(n_chunks, C),
         )
 
-        def body(mdl, carry, x):
-            acc, nf = carry
+        def body(mdl, acc, x):
             s, r, ea, ef, m = x
             w = E3FullyConnectedNet(all_w, name="conv_tp_weights")(ef)
-            mji = tp.apply(nf[s], ea, w)
-            return (acc + segment_sum(mji, r, num_nodes, mask=m), nf), ()
+            # node_feats is a CLOSURE constant, not part of the carry:
+            # lax.scan's vjp saves the carry PER ITERATION, so carrying
+            # the [N, hidden] table materialized an
+            # [n_chunks, N, hidden] cotangent stack (33 GB at 100k nodes
+            # — the compile-killer); a closed-over invariant gets ONE
+            # summed cotangent instead.
+            mji = tp.apply(node_feats[s], ea, w)
+            if fold:
+                mji = post(mji)
+            return acc + segment_sum(mji, r, num_nodes, mask=m), ()
 
         body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False})
-        acc0 = jnp.zeros((num_nodes, tp.irreps_out.dim), node_feats.dtype)
-        (acc, _), _ = scan(self, (acc0, node_feats), xs)
-        return acc
+        out_dim = post_dim if fold else tp.irreps_out.dim
+        acc0 = jnp.zeros((num_nodes, out_dim), node_feats.dtype)
+        acc, _ = scan(self, acc0, xs)
+        if fold:
+            return acc
+        return post(acc) if post is not None else acc
 
     def _tp(self):
         return EdgeTensorProductUVU(
@@ -303,14 +332,16 @@ class RealAgnosticInteractionBlock(_InteractionBase):
         tp = self._tp()
         irreps_out = Irreps(self.target_irreps)
         node_feats = IrrepsLinear(nfi, nfi, name="linear_up")(node_feats)
-        message = self._conv(tp, node_feats, edge_attrs, edge_feats,
-                             senders, receivers, edge_mask, num_nodes)
-        message = IrrepsLinear(tp.irreps_out, irreps_out, name="linear")(
-            message
+        message = self._conv(
+            tp, node_feats, edge_attrs, edge_feats, senders, receivers,
+            edge_mask, num_nodes,
+            post=lambda m: IrrepsLinear(tp.irreps_out, irreps_out,
+                                        name="linear")(m),
+            post_dim=irreps_out.dim,
         ) / self.avg_num_neighbors
         message = FullyConnectedTensorProduct(
             irreps_out, Irreps(self.node_attrs_irreps), irreps_out,
-            name="skip_tp",
+            node_chunk=self.node_chunk, name="skip_tp",
         )(message, node_attrs)
         return reshape_irreps(message, irreps_out), None
 
@@ -327,13 +358,15 @@ class RealAgnosticResidualInteractionBlock(_InteractionBase):
         irreps_out = Irreps(self.target_irreps)
         sc = FullyConnectedTensorProduct(
             nfi, Irreps(self.node_attrs_irreps), Irreps(self.hidden_irreps),
-            name="skip_tp",
+            node_chunk=self.node_chunk, name="skip_tp",
         )(node_feats, node_attrs)
         node_feats = IrrepsLinear(nfi, nfi, name="linear_up")(node_feats)
-        message = self._conv(tp, node_feats, edge_attrs, edge_feats,
-                             senders, receivers, edge_mask, num_nodes)
-        message = IrrepsLinear(tp.irreps_out, irreps_out, name="linear")(
-            message
+        message = self._conv(
+            tp, node_feats, edge_attrs, edge_feats, senders, receivers,
+            edge_mask, num_nodes,
+            post=lambda m: IrrepsLinear(tp.irreps_out, irreps_out,
+                                        name="linear")(m),
+            post_dim=irreps_out.dim,
         ) / self.avg_num_neighbors
         return reshape_irreps(message, irreps_out), sc
 

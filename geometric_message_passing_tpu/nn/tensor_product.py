@@ -19,7 +19,7 @@ path_normalization='element'): path_weight = sqrt((2l3+1)/fan_in) folded in.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -337,9 +337,39 @@ class FullyConnectedTensorProduct(nn.Module):
     irreps_in1: Irreps
     irreps_in2: Irreps
     irreps_out: Irreps
+    # node-block processing (round 3): the scalar-in2 fast path
+    # materializes an O(n * u * M) intermediate — GBs at n >= 100k; blocks
+    # are row-independent, so nn.scan + remat bounds the working set.
+    node_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, x1, x2):
+        n = x1.shape[0]
+        C = self.node_chunk
+        if C is None or n <= C:
+            return self._full(x1, x2)
+        n_chunks = -(-n // C)
+        pad = n_chunks * C - n
+
+        def pad_to(x):
+            if not pad:
+                return x
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+        xs = (pad_to(x1).reshape((n_chunks, C) + x1.shape[1:]),
+              pad_to(x2).reshape((n_chunks, C) + x2.shape[1:]))
+
+        def body(mdl, carry, x):
+            return carry, mdl._full(*x)
+
+        body = nn.remat(body, prevent_cse=False)
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False})
+        _, out = scan(self, 0, xs)
+        return out.reshape((n_chunks * C,) + out.shape[2:])[:n]
+
+    def _full(self, x1, x2):
         from ..irreps import tp_paths
 
         in1, in2, out = (Irreps(self.irreps_in1), Irreps(self.irreps_in2),

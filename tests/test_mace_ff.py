@@ -53,16 +53,21 @@ def test_mace_ff_runs_and_is_invariant(interaction):
 
 
 def test_mace_ff_chunked_matches_unchunked():
-    """edge_chunk changes the execution schedule only: forward AND grads
-    must match the single-pass conv up to sum-reassociation roundoff —
-    including a chunk size that does not divide E (pad path)."""
+    """edge_chunk AND node_chunk change the execution schedule only:
+    forward and grads must match the single-pass model up to
+    sum-reassociation roundoff — including chunk sizes that do not divide
+    E / N (pad paths)."""
     _, batch = _batch(seed=3)
-    kw = dict(num_layers=2, emb_dim=8, max_ell=2, correlation=2, in_dim=4)
+    kw = dict(num_layers=2, emb_dim=8, max_ell=2, correlation=2, in_dim=4,
+              node_chunk=None)
     model = MACEForceField(**kw)
     variables = model.init(jax.random.PRNGKey(0), batch)
 
     E = batch.senders.shape[0]
-    model_c = MACEForceField(**kw, edge_chunk=max(E // 3 - 1, 1))
+    N = batch.atoms.shape[0]
+    kw.pop("node_chunk")
+    model_c = MACEForceField(**kw, edge_chunk=max(E // 3 - 1, 1),
+                             node_chunk=max(N // 2 - 1, 1))
     # identical parameter trees between modes
     vc = model_c.init(jax.random.PRNGKey(0), batch)
     chex_tree = jax.tree_util.tree_structure
@@ -127,3 +132,25 @@ def test_uvu_per_path_matches_combined():
     a = np.asarray(tp._apply_combined(x, sh, w))
     b = np.asarray(tp._apply_per_path(x, sh, w))
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+def test_mace_ff_folded_linear_matches(monkeypatch):
+    """The 100k-node memory fix folds the post-conv IrrepsLinear into the
+    edge chunks (linear commutes with segment-sum — exact).  Force the fold
+    at toy sizes and compare against the unfolded model."""
+    from geometric_message_passing_tpu.nn import mace_blocks
+
+    _, batch = _batch(seed=7)
+    kw = dict(num_layers=2, emb_dim=8, max_ell=2, correlation=2, in_dim=4)
+    model = MACEForceField(**kw)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = np.asarray(model.apply(variables, batch))
+
+    monkeypatch.setattr(mace_blocks._InteractionBase, "FOLD_ACC_ELEMS", 0)
+    E = batch.senders.shape[0]
+    model_f = MACEForceField(**kw, edge_chunk=max(E // 2 - 1, 1))
+    vf = model_f.init(jax.random.PRNGKey(0), batch)
+    assert (jax.tree_util.tree_structure(vf)
+            == jax.tree_util.tree_structure(variables))
+    out_f = np.asarray(model_f.apply(variables, batch))
+    np.testing.assert_allclose(out_f, out, rtol=2e-4, atol=2e-4)
