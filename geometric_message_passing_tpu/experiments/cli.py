@@ -107,6 +107,10 @@ def make_model_func(args):
     if args.tp_precision != "model":
         prec["tp_precision"] = (None if args.tp_precision == "default"
                                 else args.tp_precision)
+    if name == "mace_ff":
+        # the production-shape MACE stack (scale path): graph-level energy
+        # model; pool + precision apply, equivariant_pred does not
+        return partial(base, pool=args.pool, **prec)
     if name == "tfn":
         return partial(base, max_ell=args.max_ell,
                        equivariant_pred=args.equivariant, pool=args.pool,

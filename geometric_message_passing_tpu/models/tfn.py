@@ -43,10 +43,12 @@ class TFNModel(nn.Module):
     # measured tradeoff in RESULTS.md (star MAE degrades, paired_star doesn't)
     weights_bf16: bool = False
     # matmul precision for the edge-TP einsums (see MACEModel.tp_precision).
-    # TFN measures at reference parity with the default single-pass bf16
-    # MXU numerics (star 0.0680 vs ref 0.0667, RESULTS.md), so the exact-f32
-    # knob stays opt-in here ('highest' to enable).
-    tp_precision: Optional[str] = None
+    # Round-3 measurement: scoped exact-f32 passes take TFN from parity
+    # (0.0680 vs ref 0.0667 at default bf16-pass numerics) to BEATING the
+    # reference (star 0.0637 +- 0.0009, n=3) at +24% step time (90 vs 72
+    # s/run, still 6.4x the reference's 575 s) — so 'highest' is the
+    # default; pass --tp_precision default for the faster numerics.
+    tp_precision: Optional[str] = "highest"
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
