@@ -44,10 +44,12 @@ MODELS = {
     "egnn_fused": dict(num_layers=4, emb_dim=128),
     "mace_ff": dict(num_layers=2, emb_dim=64, max_ell=3, correlation=3,
                     edge_chunk=8192),
+    "dimenet": dict(num_layers=4),
     # smaller fallbacks tried automatically on OOM
 }
 FALLBACKS = {
     "schnet": dict(hidden_channels=64, num_filters=64),
+    "dimenet": dict(hidden_channels=64, int_emb_size=32),
     "egnn": dict(emb_dim=64),
     "egnn_fused": dict(emb_dim=64),
     "mace_ff": dict(emb_dim=32, edge_chunk=16384),
@@ -146,6 +148,7 @@ def main():
             avg_degree=args.avg_degree, n_species=8, seed=0)
         loader = GraphLoader(graphs, batch_size=1)
         batch = next(iter(loader))
+        tri_batch = None
         steps = args.steps or max(4, min(40, 1_500_000 // n_nodes))
         for name in args.models.split(","):
             cfg = MODELS[name]
@@ -153,14 +156,22 @@ def main():
             # per-execution device time (the tunnel kills calls past ~1-2
             # min; a 40-step MACE call at 30k nodes measured ~60s and
             # crashed the worker)
-            m_steps = max(2, steps // 10) if name == "mace_ff" else steps
+            m_steps = (max(2, steps // 10)
+                       if name in ("mace_ff", "dimenet") else steps)
+            b = batch
+            if name in ("dimenet", "spherenet"):
+                if tri_batch is None:
+                    tri_loader = GraphLoader(graphs, batch_size=1,
+                                             with_triplets=True)
+                    tri_batch = next(iter(tri_loader))
+                b = tri_batch
             try:
-                row = bench_one(name, cfg, batch, m_steps)
+                row = bench_one(name, cfg, b, m_steps)
             except Exception as e:  # OOM etc. — retry the small config
                 msg = str(e).split("\n")[0][:120]
                 try:
                     cfg2 = {**cfg, **FALLBACKS[name]}
-                    row = bench_one(name, cfg2, batch, m_steps)
+                    row = bench_one(name, cfg2, b, m_steps)
                     row["note"] = f"fallback config after: {msg}"
                 except Exception as e2:
                     row = {"model": name, "nodes": n_nodes,
