@@ -12,6 +12,7 @@ NOTE the fork computes triplet angles at node i between (j-i) and (k-i)
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -87,6 +88,59 @@ class InteractionPPBlock(nn.Module):
     basis_emb_size: int
     num_before_skip: int
     num_after_skip: int
+    # Process triplets in blocks of this size (round 3, molecular-box
+    # scale): the [T, int_emb] gather-multiply intermediates are GBs at
+    # 5M+ triplets (30k-node boxes fail compile at 128 channels).  Blocks
+    # run sbf-projection -> gather -> multiply -> masked segment-sum per
+    # chunk in an nn.scan with a rematerialized body; x_kj is a closed-over
+    # invariant (NOT carry — scan vjp saves the carry per iteration).
+    # None = single pass (identical numerics up to sum reassociation).
+    triplet_chunk: Optional[int] = None
+
+    def _triplet_pass(self, x_kj, sbf, idx_kj, idx_ji, t_mask, num_edges):
+        """sbf-project + gather(idx_kj) + multiply + segment(idx_ji) —
+        optionally triplet-chunked.  The two sbf Dense layers carry FIXED
+        names so both modes build identical parameter trees."""
+        go = glorot_orthogonal
+
+        def proj(mdl, sb):
+            sb = nn.Dense(mdl.basis_emb_size, use_bias=False,
+                          kernel_init=go(), name="lin_sbf1")(sb)
+            return nn.Dense(mdl.int_emb_size, use_bias=False,
+                            kernel_init=go(), name="lin_sbf2")(sb)
+
+        T = sbf.shape[0]
+        C = self.triplet_chunk
+        if C is None or T <= C:
+            y = x_kj[idx_kj] * proj(self, sbf)
+            return segment_sum(y, idx_ji, num_edges, mask=t_mask)
+        n_chunks = -(-T // C)
+        pad = n_chunks * C - T
+
+        def pad_to(v, fill):
+            if not pad:
+                return v
+            tail = jnp.full((pad,) + v.shape[1:], fill, v.dtype)
+            return jnp.concatenate([v, tail], axis=0)
+
+        xs = (
+            pad_to(sbf, 0).reshape((n_chunks, C) + sbf.shape[1:]),
+            pad_to(idx_kj, 0).reshape(n_chunks, C),
+            pad_to(idx_ji, 0).reshape(n_chunks, C),
+            pad_to(t_mask, False).reshape(n_chunks, C),
+        )
+
+        def body(mdl, acc, z):
+            sb, kj, ji, m = z
+            y = x_kj[kj] * proj(mdl, sb)
+            return acc + segment_sum(y, ji, num_edges, mask=m), ()
+
+        body = nn.remat(body, prevent_cse=False)
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False})
+        acc0 = jnp.zeros((num_edges, self.int_emb_size), x_kj.dtype)
+        acc, _ = scan(self, acc0, xs)
+        return acc
 
     @nn.compact
     def __call__(self, x, rbf, sbf, idx_kj, idx_ji, t_mask):
@@ -100,10 +154,8 @@ class InteractionPPBlock(nn.Module):
         x_kj = x_kj * rbf_p
         x_kj = swish(nn.Dense(self.int_emb_size, use_bias=False, kernel_init=go())(x_kj))
 
-        sbf_p = nn.Dense(self.basis_emb_size, use_bias=False, kernel_init=go())(sbf)
-        sbf_p = nn.Dense(self.int_emb_size, use_bias=False, kernel_init=go())(sbf_p)
-        x_kj = x_kj[idx_kj] * sbf_p
-        x_kj = segment_sum(x_kj, idx_ji, num_edges, mask=t_mask)
+        x_kj = self._triplet_pass(x_kj, sbf, idx_kj, idx_ji, t_mask,
+                                  num_edges)
         x_kj = swish(nn.Dense(self.hidden, use_bias=False, kernel_init=go())(x_kj))
 
         h = x_ji + x_kj
@@ -153,6 +205,8 @@ class DimeNetPPModel(nn.Module):
     num_output_layers: int = 3
     act: str = "swish"
     pool: str = "sum"
+    # triplet-block size (see InteractionPPBlock.triplet_chunk)
+    triplet_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -187,6 +241,7 @@ class DimeNetPPModel(nn.Module):
             x = InteractionPPBlock(
                 self.hidden_channels, self.int_emb_size, self.basis_emb_size,
                 self.num_before_skip, self.num_after_skip,
+                triplet_chunk=self.triplet_chunk,
                 name=f"interaction_{blk}",
             )(x, rbf, sbf, tri.idx_kj, tri.idx_ji, tri.t_mask)
             P = P + OutputPPBlock(

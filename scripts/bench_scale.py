@@ -44,7 +44,7 @@ MODELS = {
     "egnn_fused": dict(num_layers=4, emb_dim=128),
     "mace_ff": dict(num_layers=2, emb_dim=64, max_ell=3, correlation=3,
                     edge_chunk=8192),
-    "dimenet": dict(num_layers=4),
+    "dimenet": dict(num_layers=4, triplet_chunk=262144),
     # smaller fallbacks tried automatically on OOM
 }
 FALLBACKS = {
