@@ -61,12 +61,44 @@ class MACEForceField(nn.Module):
     # node-block size for the per-node giants (symmetric contraction,
     # skip-FCTP); required at >=100k nodes (compile-time buffer planning)
     node_chunk: Optional[int] = 16384
-    # exact-f32 einsum passes for the equivariant core (see
-    # MACEModel.tp_precision); default on, matching the zoo MACE.
+    # exact-f32 einsum passes for the equivariant core — the per-edge uvu
+    # TP + post-conv linear inside each interaction block AND the
+    # product-basis block (see MACEModel.tp_precision); default on,
+    # matching the zoo MACE.
     tp_precision: Optional[str] = "highest"
+    # mesh axis for edge-partitioned (gp) execution; set together with a
+    # ``halo_plan`` argument at call time (see below).
+    gp_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, batch: GraphBatch, train: bool = False):
+    def __call__(self, batch: GraphBatch, train: bool = False,
+                 halo_plan=None):
+        """Forward.  Single-device: ``model(batch) -> [G, 1]``.
+
+        Edge-partitioned (gp, SURVEY §2.5 irrep-payload halo): called
+        inside ``shard_map`` over a mesh with axis ``gp_axis``, with
+        ``batch`` the LOCAL shard — node rows block-partitioned, edges
+        living on their receiver's owner with ``senders`` holding CATALOG
+        indices and ``receivers`` local rows (parallel.halo.build_halo_plan
+        edge_src_cat / edge_tgt_local) — and ``halo_plan`` the device's
+        slice of the plan arrays.  Per layer, ONE all_to_all moves the
+        boundary nodes' full irreps row ([B, sum mul*(2l+1)] — the packed
+        ragged payload); positions are exchanged once up front for the
+        edge featurization.  The per-graph energies are psum-completed, so
+        every device returns the full [G, 1].  Exactness vs the
+        single-device forward (fwd + grads) is tested on a CPU mesh in
+        tests/test_parallel.py."""
+        from ..parallel.halo import halo_catalog
+
+        gp = halo_plan is not None
+        if gp:
+            assert self.gp_axis is not None, "gp execution needs gp_axis"
+            assert self.pool in ("sum", "add"), (
+                "gp execution completes the pool with a psum — only the "
+                "sum readout (the physical energy sum) distributes")
+            exchange = lambda nf: halo_catalog(nf, halo_plan, self.gp_axis)
+        else:
+            exchange = None
         sh_irreps = Irreps.spherical_harmonics(self.max_ell)
         hidden = (sh_irreps * self.emb_dim).sort().simplify()
         attrs_irreps = Irreps(f"{self.in_dim}x0e")
@@ -77,7 +109,11 @@ class MACEForceField(nn.Module):
             node_attrs
         )
 
-        vectors = batch.pos[batch.senders] - batch.pos[batch.receivers]
+        if gp:
+            pos_cat = halo_catalog(batch.pos, halo_plan, self.gp_axis)
+            vectors = pos_cat[batch.senders] - batch.pos[batch.receivers]
+        else:
+            vectors = batch.pos[batch.senders] - batch.pos[batch.receivers]
         lengths = safe_norm(vectors, axis=-1, keepdims=True)
         edge_sh = spherical_harmonics(vectors, self.max_ell)
         edge_feats = radial_embedding(
@@ -98,9 +134,10 @@ class MACEForceField(nn.Module):
                 avg_num_neighbors=self.avg_num_neighbors,
                 edge_chunk=self.edge_chunk,
                 node_chunk=self.node_chunk,
+                precision=self.tp_precision,
                 name=f"interaction_{i}",
             )(node_attrs, h, edge_sh, edge_feats, batch.senders,
-              batch.receivers, batch.edge_mask)
+              batch.receivers, batch.edge_mask, halo_exchange=exchange)
             h = EquivariantProductBasisBlock(
                 node_feats_irreps=hidden,
                 target_irreps=hidden,
@@ -115,4 +152,7 @@ class MACEForceField(nn.Module):
             node_e = IrrepsLinear(hidden, Irreps("1x0e"),
                                   name=f"readout_{i}")(h)
             energy = energy + POOL[self.pool](node_e, batch)
+        if gp:
+            # nodes of one graph may span devices: complete the pool
+            energy = jax.lax.psum(energy, axis_name=self.gp_axis)
         return energy

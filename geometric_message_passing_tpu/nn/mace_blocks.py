@@ -149,6 +149,10 @@ class _InteractionBase(nn.Module):
     # node-block size for the skip-FCTP (see FullyConnectedTensorProduct.
     # node_chunk) — the other node-level giant at >=100k nodes.
     node_chunk: Optional[int] = None
+    # exact-f32 einsum passes for the per-edge TP + post-conv linear (the
+    # precision-sensitive stage identified by the round-3 MACE ablation,
+    # RESULTS.md); None = fast single-pass bf16 MXU numerics.
+    precision: Optional[str] = None
     # accumulator-element threshold above which the post-conv linear is
     # folded into the edge chunks (see _conv); class-level so tests can
     # force the fold path at toy sizes.
@@ -228,7 +232,7 @@ class _InteractionBase(nn.Module):
     def _tp(self):
         return EdgeTensorProductUVU(
             Irreps(self.node_feats_irreps), Irreps(self.edge_attrs_irreps),
-            Irreps(self.target_irreps),
+            Irreps(self.target_irreps), precision=self.precision,
         )
 
     def _linear_out_irreps(self, irreps_mid: Irreps) -> Irreps:
@@ -322,20 +326,29 @@ class AgnosticResidualNonlinearInteractionBlock(_InteractionBase):
 
 
 class RealAgnosticInteractionBlock(_InteractionBase):
-    """blocks.py:396-461 — returns ([n, channels, (lmax+1)^2], None)."""
+    """blocks.py:396-461 — returns ([n, channels, (lmax+1)^2], None).
+
+    ``halo_exchange``: optional callable for edge-partitioned (gp)
+    execution — maps the post-linear_up LOCAL node features [N_loc, D] to
+    the gather catalog [N_loc + k*B, D] (see parallel.halo.halo_catalog);
+    ``senders`` then index the catalog while ``receivers``/segment targets
+    stay local.  None = single-device semantics (identical numerics)."""
 
     @nn.compact
     def __call__(self, node_attrs, node_feats, edge_attrs, edge_feats,
-                 senders, receivers, edge_mask=None):
+                 senders, receivers, edge_mask=None, halo_exchange=None):
         nfi = Irreps(self.node_feats_irreps)
         num_nodes = node_feats.shape[0]
         tp = self._tp()
         irreps_out = Irreps(self.target_irreps)
         node_feats = IrrepsLinear(nfi, nfi, name="linear_up")(node_feats)
+        if halo_exchange is not None:
+            node_feats = halo_exchange(node_feats)
         message = self._conv(
             tp, node_feats, edge_attrs, edge_feats, senders, receivers,
             edge_mask, num_nodes,
             post=lambda m: IrrepsLinear(tp.irreps_out, irreps_out,
+                                        precision=self.precision,
                                         name="linear")(m),
             post_dim=irreps_out.dim,
         ) / self.avg_num_neighbors
@@ -347,11 +360,15 @@ class RealAgnosticInteractionBlock(_InteractionBase):
 
 
 class RealAgnosticResidualInteractionBlock(_InteractionBase):
-    """blocks.py:464-530 — returns ([n, channels, (lmax+1)^2], sc)."""
+    """blocks.py:464-530 — returns ([n, channels, (lmax+1)^2], sc).
+
+    ``halo_exchange``: see RealAgnosticInteractionBlock — the self
+    connection (skip_tp) and segment targets are node-local, only the
+    post-linear_up gather side crosses chips."""
 
     @nn.compact
     def __call__(self, node_attrs, node_feats, edge_attrs, edge_feats,
-                 senders, receivers, edge_mask=None):
+                 senders, receivers, edge_mask=None, halo_exchange=None):
         nfi = Irreps(self.node_feats_irreps)
         num_nodes = node_feats.shape[0]
         tp = self._tp()
@@ -361,10 +378,13 @@ class RealAgnosticResidualInteractionBlock(_InteractionBase):
             node_chunk=self.node_chunk, name="skip_tp",
         )(node_feats, node_attrs)
         node_feats = IrrepsLinear(nfi, nfi, name="linear_up")(node_feats)
+        if halo_exchange is not None:
+            node_feats = halo_exchange(node_feats)
         message = self._conv(
             tp, node_feats, edge_attrs, edge_feats, senders, receivers,
             edge_mask, num_nodes,
             post=lambda m: IrrepsLinear(tp.irreps_out, irreps_out,
+                                        precision=self.precision,
                                         name="linear")(m),
             post_dim=irreps_out.dim,
         ) / self.avg_num_neighbors

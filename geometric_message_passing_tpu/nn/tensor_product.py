@@ -243,9 +243,11 @@ class EdgeTensorProductUVU:
     Output: the UNSIMPLIFIED sorted irreps_out from tp_paths_uvu.
     """
 
-    def __init__(self, irreps_in: Irreps, irreps_sh: Irreps, target: Irreps):
+    def __init__(self, irreps_in: Irreps, irreps_sh: Irreps, target: Irreps,
+                 precision=None):
         from ..irreps import tp_paths_uvu
 
+        self.precision = precision
         self.irreps_in = Irreps(irreps_in)
         self.irreps_sh = Irreps(irreps_sh)
         self.irreps_out, self.paths = tp_paths_uvu(
@@ -290,7 +292,8 @@ class EdgeTensorProductUVU:
         P = len(self.paths)
         xr = _to_channel_layout(x, self.irreps_in)            # [E, u, L]
         C = jnp.asarray(self._C, dtype=x.dtype)
-        tmp = jnp.einsum("...ua,...b,abm->...um", xr, sh, C)  # [E, u, M]
+        tmp = jnp.einsum("...ua,...b,abm->...um", xr, sh, C,
+                         precision=self.precision)            # [E, u, M]
         W = weights.reshape(weights.shape[:-1] + (P, u))      # [E, P, u]
         W = jnp.repeat(jnp.swapaxes(W, -1, -2), self._d3, axis=-1,
                        total_repeat_length=int(self._d3.sum()))  # [E, u, M]
@@ -315,7 +318,8 @@ class EdgeTensorProductUVU:
             W = weights[..., w_off : w_off + p.mul_in1]   # [E, u]
             w_off += p.mul_in1
             y = p.path_weight * jnp.einsum(
-                "...ua,...b,abm,...u->...um", xin, sh_blk, C, W
+                "...ua,...b,abm,...u->...um", xin, sh_blk, C, W,
+                precision=self.precision
             )
             outs[p.i_out] = y if outs[p.i_out] is None else outs[p.i_out] + y
         for k, (mul, ir) in enumerate(self.irreps_out):

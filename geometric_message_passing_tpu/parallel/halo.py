@@ -76,6 +76,9 @@ class HaloPlan:
     bnd_src_slot: jnp.ndarray  # [k, E_bnd] payload slot (p*B + s) of source
     bnd_tgt: jnp.ndarray       # [k, E_bnd] local row of boundary edge target
     bnd_mask: jnp.ndarray      # [k, E_bnd] bool
+    edge_perm: jnp.ndarray     # [k, E_loc] ORIGINAL edge id of each slot
+    #                            (0 on pad slots) — shards any per-edge array
+    #                            x into the plan's layout via x[edge_perm]
 
 
 def build_halo_plan(senders, receivers, num_nodes: int, k: int,
@@ -126,6 +129,7 @@ def build_halo_plan(senders, receivers, num_nodes: int, k: int,
     edge_src_cat = np.zeros((k, e_loc), np.int32)
     edge_tgt_local = np.zeros((k, e_loc), np.int32)
     edge_mask_out = np.zeros((k, e_loc), bool)
+    edge_perm = np.zeros((k, e_loc), np.int32)
     # interior/boundary split (overlapped variant)
     n_int = np.bincount(owner_t[emask & (owner_s == owner_t)], minlength=k)
     n_bnd = np.bincount(owner_t[emask & (owner_s != owner_t)], minlength=k)
@@ -162,6 +166,7 @@ def build_halo_plan(senders, receivers, num_nodes: int, k: int,
         edge_src_cat[q, j] = cat
         edge_tgt_local[q, j] = tgt
         edge_mask_out[q, j] = True
+        edge_perm[q, j] = i
 
     return HaloPlan(
         n_local=n_local,
@@ -176,7 +181,59 @@ def build_halo_plan(senders, receivers, num_nodes: int, k: int,
         bnd_src_slot=jnp.asarray(bnd_src_slot),
         bnd_tgt=jnp.asarray(bnd_tgt),
         bnd_mask=jnp.asarray(bnd_mask),
+        edge_perm=jnp.asarray(edge_perm),
     )
+
+
+def halo_catalog(h_local, plan_local, axis: str = "gp"):
+    """Exchange the boundary payload and return the gather catalog
+    [n_local + k*B, d]: rows [0, n_local) are this device's own nodes, row
+    n_local + p*B + s is slot s received from device p.  ``edge_src_cat``
+    indexes directly into this catalog.
+
+    This is the payload-only half of ``packed_halo_aggregate`` — exposed so
+    model layers whose message needs MORE than (h_tgt, h_src) (per-edge
+    spherical harmonics, radial features, TP weights ...) can run their own
+    edge compute over the catalog.  The payload width d is arbitrary: for
+    equivariant models it is the FLAT irrep feature row (sum mul*(2l+1)
+    floats — the fixed-width packing of the ragged irrep payload the SURVEY
+    §2.5 halo mandate calls for; flattening the irrep blocks into one row
+    IS the packing, done once at model build)."""
+    if plan_local["send_idx"].ndim == 3:
+        plan_local = jax.tree.map(lambda x: x[0], plan_local)
+    send_idx, send_mask = plan_local["send_idx"], plan_local["send_mask"]
+    k, b = send_idx.shape
+    payload = h_local[send_idx] * send_mask[..., None].astype(h_local.dtype)
+    recv = collectives.all_to_all(payload, axis, 0, 0)     # [k, B, d]
+    return jnp.concatenate(
+        [h_local, recv.reshape(k * b, h_local.shape[-1])], axis=0
+    )
+
+
+def halo_stats(plan: HaloPlan, payload_dim: int, dtype_bytes: int = 4,
+               num_nodes: int | None = None) -> dict:
+    """Communication accounting for one packed halo exchange of a
+    [*, payload_dim] payload, vs the all_gather v0 alternative.
+
+    Returns per-device-per-exchange numbers: ``wire_bytes`` counts only
+    slots that actually cross chips ((k-1) peer blocks of B slots each,
+    padded — what the all_to_all puts on ICI); ``useful_bytes`` counts the
+    unpadded boundary rows (send_mask); ``allgather_bytes`` is what the v0
+    full-gather strategy would move ((N - n_local) rows in)."""
+    import numpy as _np
+
+    send_mask = _np.asarray(plan.send_mask)
+    k, _, b = send_mask.shape
+    n = num_nodes if num_nodes is not None else k * plan.n_local
+    off_diag = send_mask.sum() - sum(send_mask[p, p].sum() for p in range(k))
+    return {
+        "k": k,
+        "slots_per_pair": b,
+        "payload_dim": payload_dim,
+        "wire_bytes": (k - 1) * b * payload_dim * dtype_bytes,
+        "useful_bytes": int(off_diag) * payload_dim * dtype_bytes // k,
+        "allgather_bytes": (n - plan.n_local) * payload_dim * dtype_bytes,
+    }
 
 
 def packed_halo_aggregate(h_local, plan_local, message_fn, axis: str = "gp"):
@@ -235,6 +292,21 @@ def packed_halo_aggregate_overlapped(h_local, plan_local, message_fn,
     return acc + segment_sum(msg_bnd, plan_local["bnd_tgt"],
                              h_local.shape[0],
                              mask=plan_local["bnd_mask"])
+
+
+def gp_local_batch(batch, plan: HaloPlan):
+    """Rewrite a padded GraphBatch into the plan's edge-partitioned layout:
+    senders become CATALOG indices (edge_src_cat), receivers/edge_mask the
+    plan's per-owner slots, flattened to [k*E_loc] so every edge field
+    shards with in_spec P(axis) alongside the node fields ([N] with N a
+    multiple of k).  Graph-level fields (y, graph_mask, first_node) stay
+    replicated — use P() for them.  Pair with in-model halo execution
+    (e.g. MACEForceField(gp_axis=...) called with halo_plan)."""
+    return batch.replace(
+        senders=plan.edge_src_cat.reshape(-1),
+        receivers=plan.edge_tgt_local.reshape(-1),
+        edge_mask=plan.edge_mask.reshape(-1),
+    )
 
 
 def gp_edge_aggregate(

@@ -50,7 +50,14 @@ class CheckpointManager:
             ckpt["opt_state"] = opt_state
         self._mgr.save(step, args=ocp.args.StandardSave(ckpt), metrics=metrics)
 
+    def wait_until_finished(self):
+        """Block until in-flight async saves commit.  Orbax saves are async
+        by default; a rollback that restores "the latest checkpoint" right
+        after a boundary save could otherwise race the background commit."""
+        self._mgr.wait_until_finished()
+
     def restore(self, step: Optional[int] = None, template=None):
+        self.wait_until_finished()
         step = step if step is not None else self._mgr.latest_step()
         if template is not None:
             return self._mgr.restore(

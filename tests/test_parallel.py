@@ -665,3 +665,107 @@ def test_pipeline_real_egnn_layer_matches_sequential():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4),
         g_pp, g_seq)
+
+
+# ---------------------------------------------------------------------------
+# Irrep-payload halo: a REAL equivariant model (MACEForceField, uvu
+# interaction conv) running edge-partitioned (round 4; the SURVEY §2.5
+# "boundary node features (scalars + irrep channels)" mandate).
+
+
+class TestGpMaceForceField:
+    K = 4
+
+    def _setup(self, **model_kw):
+        from geometric_message_passing_tpu.models.mace_ff import MACEForceField
+
+        graphs = ds.create_star_graphs(num=4, fold=[4, 5], dim=3, seed=0)
+        n_pad, e_pad, g_pad = pad_sizes(graphs, 4)   # node_multiple=8 => %K
+        big = batch_graphs(graphs, n_pad, e_pad, g_pad)
+        model = MACEForceField(num_layers=2, emb_dim=4, max_ell=2,
+                               correlation=2, in_dim=2, node_chunk=None,
+                               **model_kw)
+        variables = model.init(jax.random.PRNGKey(0), big)
+        return model, variables, big
+
+    def _gp_apply(self, model, big):
+        """Build the plan + local batch and return a jitted gp forward
+        (variables -> [G, 1] energies, replicated)."""
+        from geometric_message_passing_tpu.graph import GraphBatch
+        from geometric_message_passing_tpu.parallel.halo import (
+            build_halo_plan, gp_local_batch)
+
+        k = self.K
+        plan = build_halo_plan(
+            np.asarray(big.senders), np.asarray(big.receivers),
+            big.num_nodes, k, edge_mask=np.asarray(big.edge_mask))
+        local = gp_local_batch(big, plan)
+        plan_arrays = {"send_idx": plan.send_idx,
+                       "send_mask": plan.send_mask}
+        gp_model = model.clone(gp_axis="gp")
+        mesh = make_mesh((k,), ("gp",), devices=jax.devices()[:k])
+        batch_spec = GraphBatch(
+            atoms=P("gp"), pos=P("gp"), senders=P("gp"), receivers=P("gp"),
+            graph_id=P("gp"), y=P(), node_mask=P("gp"), edge_mask=P("gp"),
+            graph_mask=P(), first_node=P(), triplets=None)
+
+        mapped = jax.jit(shard_map(
+            lambda v, b, pl: gp_model.apply(v, b, halo_plan=pl),
+            mesh=mesh, in_specs=(P(), batch_spec, P("gp")),
+            out_specs=P(), check_vma=False,
+        ))
+        return lambda v: mapped(v, local, plan_arrays), plan
+
+    def test_forward_matches_single_device(self):
+        model, variables, big = self._setup()
+        ref = np.asarray(model.apply(variables, big))
+        fwd, plan = self._gp_apply(model, big)
+        out = np.asarray(fwd(variables))
+        np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-4)
+
+    def test_gradients_match_single_device(self):
+        model, variables, big = self._setup()
+
+        def loss_ref(params):
+            vs = {**variables, "params": params}
+            return jnp.sum(jnp.square(model.apply(vs, big)))
+
+        g_ref = jax.grad(loss_ref)(variables["params"])
+        fwd, _ = self._gp_apply(model, big)
+
+        def loss_gp(params):
+            return jnp.sum(jnp.square(fwd({**variables, "params": params})))
+
+        g_gp = jax.grad(loss_gp)(variables["params"])
+        flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat_gp = dict(jax.tree_util.tree_leaves_with_path(g_gp))
+        assert flat_gp
+        for path, a in flat_ref:
+            b = flat_gp[path]
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-3, rtol=2e-3,
+                err_msg=jax.tree_util.keystr(path))
+
+    def test_edge_chunked_gp_matches_single_device(self):
+        """The halo composes with the scale-regime edge-chunked conv
+        (nn.scan + remat inside the shard_map body)."""
+        model, variables, big = self._setup()
+        ref = np.asarray(model.apply(variables, big))
+        chunked = model.clone(edge_chunk=16)
+        fwd, _ = self._gp_apply(chunked, big)
+        out = np.asarray(fwd(variables))
+        np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-4)
+
+    def test_halo_stats_accounting(self):
+        from geometric_message_passing_tpu.parallel.halo import halo_stats
+
+        model, variables, big = self._setup()
+        _, plan = self._gp_apply(model, big)
+        hidden_dim = 4 * (1 + 3 + 5)      # emb_dim * sum(2l+1), max_ell=2
+        st = halo_stats(plan, hidden_dim, num_nodes=big.num_nodes)
+        assert st["k"] == self.K
+        assert st["wire_bytes"] > 0
+        assert st["useful_bytes"] <= st["wire_bytes"]
+        # star graphs are hub-dominated: the packed exchange must not move
+        # more than the full-gather fallback does
+        assert st["wire_bytes"] <= 2 * st["allgather_bytes"]
