@@ -9,6 +9,7 @@ from .mace import MACEModel  # noqa
 from .mace_ff import MACEForceField  # noqa
 from .schnet import SchNetModel  # noqa
 from .tfn import TFNModel  # noqa
+from .tfn_ff import TFNForceField  # noqa
 
 model_registry = {
     "schnet": SchNetModel,
@@ -18,6 +19,7 @@ model_registry = {
     "tfn": TFNModel,
     "mace": MACEModel,
     "mace_ff": MACEForceField,
+    "tfn_ff": TFNForceField,
     "mpnn": MPNNModel,
 }
 

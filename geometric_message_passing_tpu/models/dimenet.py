@@ -97,10 +97,19 @@ class InteractionPPBlock(nn.Module):
     # None = single pass (identical numerics up to sum reassociation).
     triplet_chunk: Optional[int] = None
 
-    def _triplet_pass(self, x_kj, sbf, idx_kj, idx_ji, t_mask, num_edges):
+    def _triplet_pass(self, x_kj, sbf, idx_kj, idx_ji, t_mask, num_edges,
+                      basis_ctx=None):
         """sbf-project + gather(idx_kj) + multiply + segment(idx_ji) —
         optionally triplet-chunked.  The two sbf Dense layers carry FIXED
-        names so both modes build identical parameter trees."""
+        names so both modes build identical parameter trees.
+
+        ``basis_ctx`` (round 4, the 100k-box regime): when given, the
+        [T, ns*nr] spherical basis is never materialized — the per-edge
+        radial half (``rbf_sph`` [E, ns*nr]) comes precomputed and the
+        per-triplet half (angle from pos gathers + Legendre cbf + product)
+        is evaluated INSIDE the chunk body, bounding every per-triplet
+        tensor to the chunk size.  Keys: pos [N,3], rbf_sph, idx_i/j/k [T],
+        ns.  Elementwise over T, so chunked == unchunked bitwise."""
         go = glorot_orthogonal
 
         def proj(mdl, sb):
@@ -109,9 +118,28 @@ class InteractionPPBlock(nn.Module):
             return nn.Dense(mdl.int_emb_size, use_bias=False,
                             kernel_init=go(), name="lin_sbf2")(sb)
 
-        T = sbf.shape[0]
+        def sbf_of(ctx, kj, ii, jj, kk):
+            from ..ops.dimenet_basis import angle_cbf
+
+            pos = ctx["pos"]
+            pos_i = pos[ii]
+            pos_ji = pos[jj] - pos_i
+            pos_ki = pos[kk] - pos_i
+            a = jnp.sum(pos_ji * pos_ki, axis=-1)
+            b = safe_norm(jnp.cross(pos_ji, pos_ki), axis=-1)
+            angle = safe_arctan2(b, a)
+            cbf = angle_cbf(angle, ctx["ns"])              # [c, ns]
+            rs = ctx["rbf_sph"][kj]                        # [c, ns*nr]
+            ns = ctx["ns"]
+            out = rs.reshape(rs.shape[0], ns, -1) * cbf[:, :, None]
+            return out.reshape(rs.shape[0], -1)
+
+        T = idx_kj.shape[0]
         C = self.triplet_chunk
         if C is None or T <= C:
+            if sbf is None:
+                sbf = sbf_of(basis_ctx, idx_kj, basis_ctx["idx_i"],
+                             basis_ctx["idx_j"], basis_ctx["idx_k"])
             y = x_kj[idx_kj] * proj(self, sbf)
             return segment_sum(y, idx_ji, num_edges, mask=t_mask)
         n_chunks = -(-T // C)
@@ -123,15 +151,27 @@ class InteractionPPBlock(nn.Module):
             tail = jnp.full((pad,) + v.shape[1:], fill, v.dtype)
             return jnp.concatenate([v, tail], axis=0)
 
-        xs = (
-            pad_to(sbf, 0).reshape((n_chunks, C) + sbf.shape[1:]),
-            pad_to(idx_kj, 0).reshape(n_chunks, C),
-            pad_to(idx_ji, 0).reshape(n_chunks, C),
-            pad_to(t_mask, False).reshape(n_chunks, C),
-        )
+        def chunked(v, fill=0):
+            return pad_to(v, fill).reshape((n_chunks, C) + v.shape[1:])
+
+        in_chunk_basis = sbf is None
+        xs = [
+            chunked(idx_kj),
+            chunked(idx_ji),
+            chunked(t_mask, False),
+        ]
+        if in_chunk_basis:
+            xs += [chunked(basis_ctx["idx_i"]), chunked(basis_ctx["idx_j"]),
+                   chunked(basis_ctx["idx_k"])]
+        else:
+            xs.append(chunked(sbf))
 
         def body(mdl, acc, z):
-            sb, kj, ji, m = z
+            if in_chunk_basis:
+                kj, ji, m, ii, jj, kk = z
+                sb = sbf_of(basis_ctx, kj, ii, jj, kk)
+            else:
+                kj, ji, m, sb = z
             y = x_kj[kj] * proj(mdl, sb)
             return acc + segment_sum(y, ji, num_edges, mask=m), ()
 
@@ -139,11 +179,11 @@ class InteractionPPBlock(nn.Module):
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False})
         acc0 = jnp.zeros((num_edges, self.int_emb_size), x_kj.dtype)
-        acc, _ = scan(self, acc0, xs)
+        acc, _ = scan(self, acc0, tuple(xs))
         return acc
 
     @nn.compact
-    def __call__(self, x, rbf, sbf, idx_kj, idx_ji, t_mask):
+    def __call__(self, x, rbf, sbf, idx_kj, idx_ji, t_mask, basis_ctx=None):
         go = glorot_orthogonal
         num_edges = x.shape[0]
         x_ji = swish(nn.Dense(self.hidden, kernel_init=go())(x))
@@ -155,7 +195,7 @@ class InteractionPPBlock(nn.Module):
         x_kj = swish(nn.Dense(self.int_emb_size, use_bias=False, kernel_init=go())(x_kj))
 
         x_kj = self._triplet_pass(x_kj, sbf, idx_kj, idx_ji, t_mask,
-                                  num_edges)
+                                  num_edges, basis_ctx=basis_ctx)
         x_kj = swish(nn.Dense(self.hidden, use_bias=False, kernel_init=go())(x_kj))
 
         h = x_ji + x_kj
@@ -207,6 +247,13 @@ class DimeNetPPModel(nn.Module):
     pool: str = "sum"
     # triplet-block size (see InteractionPPBlock.triplet_chunk)
     triplet_chunk: Optional[int] = None
+    # With triplet_chunk set, also evaluate the [T, ns*nr] spherical basis
+    # INSIDE the chunk bodies (round 4): at 100k-node boxes (18M triplets)
+    # the materialized sbf alone is ~3 GB and fails compile-time buffer
+    # planning; in-chunk evaluation keeps only the [E, ns*nr] radial table
+    # and the [T] index arrays resident.  Exactness-tested vs the
+    # materialized path (elementwise over T -> bitwise identical).
+    sbf_in_chunk: bool = True
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -216,18 +263,32 @@ class DimeNetPPModel(nn.Module):
         j, i = batch.senders, batch.receivers
 
         dist = safe_norm(pos[i] - pos[j], axis=-1)
-        # fork's angle-at-i convention (dimenet.py:86-90)
-        pos_i = pos[tri.idx_i]
-        pos_ji = pos[tri.idx_j] - pos_i
-        pos_ki = pos[tri.idx_k] - pos_i
-        a = jnp.sum(pos_ji * pos_ki, axis=-1)
-        b = safe_norm(jnp.cross(pos_ji, pos_ki), axis=-1)
-        angle = safe_arctan2(b, a)
+        in_chunk = self.triplet_chunk is not None and self.sbf_in_chunk
+        basis_ctx = None
+        if in_chunk:
+            from ..ops.dimenet_basis import sph_bessel_rbf
+
+            sbf = None
+            basis_ctx = {
+                "pos": pos,
+                "rbf_sph": sph_bessel_rbf(dist, self.num_spherical,
+                                          self.num_radial, self.cutoff),
+                "idx_i": tri.idx_i, "idx_j": tri.idx_j, "idx_k": tri.idx_k,
+                "ns": self.num_spherical,
+            }
+        else:
+            # fork's angle-at-i convention (dimenet.py:86-90)
+            pos_i = pos[tri.idx_i]
+            pos_ji = pos[tri.idx_j] - pos_i
+            pos_ki = pos[tri.idx_k] - pos_i
+            a = jnp.sum(pos_ji * pos_ki, axis=-1)
+            b = safe_norm(jnp.cross(pos_ji, pos_ki), axis=-1)
+            angle = safe_arctan2(b, a)
+            sbf = AngleEmb(self.num_spherical, self.num_radial, self.cutoff,
+                           name="sbf")(dist, angle, tri.idx_kj)
 
         rbf = DistEmb(self.num_radial, self.cutoff, self.envelope_exponent,
                       zero_outside=True, name="rbf")(dist)
-        sbf = AngleEmb(self.num_spherical, self.num_radial, self.cutoff,
-                       name="sbf")(dist, angle, tri.idx_kj)
 
         x = EmbeddingBlock(self.hidden_channels, name="emb")(
             batch.atoms, rbf, j, i
@@ -243,7 +304,8 @@ class DimeNetPPModel(nn.Module):
                 self.num_before_skip, self.num_after_skip,
                 triplet_chunk=self.triplet_chunk,
                 name=f"interaction_{blk}",
-            )(x, rbf, sbf, tri.idx_kj, tri.idx_ji, tri.t_mask)
+            )(x, rbf, sbf, tri.idx_kj, tri.idx_ji, tri.t_mask,
+              basis_ctx=basis_ctx)
             P = P + OutputPPBlock(
                 self.hidden_channels, self.out_emb_channels, self.out_dim,
                 self.num_output_layers, name=f"output_{blk + 1}",

@@ -10,6 +10,7 @@ indices (triplets.py) + in-graph dihedral computation + masked segment-min.
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -62,7 +63,16 @@ class SphereNetInit(nn.Module):
 
 
 class SphereNetUpdateE(nn.Module):
-    """update_e (spherenet_layer.py:104-192): the triplet/torsion core."""
+    """update_e (spherenet_layer.py:104-192): the triplet/torsion core.
+
+    ``triplet_chunk`` (round 4, box scale): the [T, ns*nr] sbf and
+    [T, ns^2*nr] tbf expansions plus the gathered [T, int_emb] products are
+    the per-triplet giants (tbf alone ~6 GB at a 30k-node box); chunked
+    mode takes a ``basis_ctx`` (rbf_sph [E, ns*nr], angle [T], torsion [T])
+    instead of materialized sbf/tbf and evaluates basis + projections +
+    gather-multiply + masked segment-sum per block inside an nn.scan with
+    a rematerialized body.  All Dense layers carry fixed names, so both
+    modes build identical parameter trees; elementwise over T -> exact."""
 
     hidden: int
     int_emb_size: int
@@ -73,9 +83,85 @@ class SphereNetUpdateE(nn.Module):
     num_radial: int
     num_before_skip: int
     num_after_skip: int
+    triplet_chunk: Optional[int] = None
+
+    def _triplet_pass(self, x_kj, sbf, t, idx_kj, idx_ji, t_mask, num_edges,
+                      basis_ctx=None):
+        go = glorot_orthogonal
+
+        def proj_sbf(mdl, sb):
+            sb = nn.Dense(mdl.basis_emb_size_angle, use_bias=False,
+                          kernel_init=go(), name="lin_sbf1")(sb)
+            return nn.Dense(mdl.int_emb_size, use_bias=False,
+                            kernel_init=go(), name="lin_sbf2")(sb)
+
+        def proj_t(mdl, tb):
+            tb = nn.Dense(mdl.basis_emb_size_torsion, use_bias=False,
+                          kernel_init=go(), name="lin_t1")(tb)
+            return nn.Dense(mdl.int_emb_size, use_bias=False,
+                            kernel_init=go(), name="lin_t2")(tb)
+
+        def bases_of(ctx, kj, ang, tor):
+            from ..ops.dimenet_basis import angle_cbf, torsion_cbf
+
+            ns = ctx["ns"]
+            rs = ctx["rbf_sph"][kj]                       # [c, ns*nr]
+            cbf = angle_cbf(ang, ns)                      # [c, ns]
+            sb = (rs.reshape(rs.shape[0], ns, -1) * cbf[:, :, None]
+                  ).reshape(rs.shape[0], -1)
+            tcb = torsion_cbf(ang, tor, ns)               # [c, ns*ns]
+            tb = (rs.reshape(rs.shape[0], 1, ns, -1)
+                  * tcb.reshape(tcb.shape[0], ns, ns, 1)
+                  ).reshape(rs.shape[0], -1)
+            return sb, tb
+
+        T = idx_kj.shape[0]
+        C = self.triplet_chunk
+        if C is None or T <= C:
+            if sbf is None:
+                sbf, t = bases_of(basis_ctx, idx_kj, basis_ctx["angle"],
+                                  basis_ctx["torsion"])
+            y = x_kj[idx_kj] * proj_sbf(self, sbf)
+            y = y * proj_t(self, t)
+            return segment_sum(y, idx_ji, num_edges, mask=t_mask)
+        n_chunks = -(-T // C)
+        pad = n_chunks * C - T
+
+        def pad_to(v, fill):
+            if not pad:
+                return v
+            tail = jnp.full((pad,) + v.shape[1:], fill, v.dtype)
+            return jnp.concatenate([v, tail], axis=0)
+
+        def chunked(v, fill=0):
+            return pad_to(v, fill).reshape((n_chunks, C) + v.shape[1:])
+
+        in_chunk_basis = sbf is None
+        xs = [chunked(idx_kj), chunked(idx_ji), chunked(t_mask, False)]
+        if in_chunk_basis:
+            xs += [chunked(basis_ctx["angle"]), chunked(basis_ctx["torsion"])]
+        else:
+            xs += [chunked(sbf), chunked(t)]
+
+        def body(mdl, acc, z):
+            if in_chunk_basis:
+                kj, ji, m, ang, tor = z
+                sb, tb = bases_of(basis_ctx, kj, ang, tor)
+            else:
+                kj, ji, m, sb, tb = z
+            y = x_kj[kj] * proj_sbf(mdl, sb)
+            y = y * proj_t(mdl, tb)
+            return acc + segment_sum(y, ji, num_edges, mask=m), ()
+
+        body = nn.remat(body, prevent_cse=False)
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False})
+        acc0 = jnp.zeros((num_edges, self.int_emb_size), x_kj.dtype)
+        acc, _ = scan(self, acc0, tuple(xs))
+        return acc
 
     @nn.compact
-    def __call__(self, e, emb, idx_kj, idx_ji, t_mask):
+    def __call__(self, e, emb, idx_kj, idx_ji, t_mask, basis_ctx=None):
         go = glorot_orthogonal
         rbf0, sbf, t = emb
         x1, _ = e
@@ -92,19 +178,8 @@ class SphereNetUpdateE(nn.Module):
         x_kj = swish(nn.Dense(self.int_emb_size, use_bias=False,
                               kernel_init=go(), name="lin_down")(x_kj))
 
-        sbf_p = nn.Dense(self.basis_emb_size_angle, use_bias=False,
-                         kernel_init=go(), name="lin_sbf1")(sbf)
-        sbf_p = nn.Dense(self.int_emb_size, use_bias=False, kernel_init=go(),
-                         name="lin_sbf2")(sbf_p)
-        x_kj = x_kj[idx_kj] * sbf_p
-
-        t_p = nn.Dense(self.basis_emb_size_torsion, use_bias=False,
-                       kernel_init=go(), name="lin_t1")(t)
-        t_p = nn.Dense(self.int_emb_size, use_bias=False, kernel_init=go(),
-                       name="lin_t2")(t_p)
-        x_kj = x_kj * t_p
-
-        x_kj = segment_sum(x_kj, idx_ji, num_edges, mask=t_mask)
+        x_kj = self._triplet_pass(x_kj, sbf, t, idx_kj, idx_ji, t_mask,
+                                  num_edges, basis_ctx=basis_ctx)
         x_kj = swish(nn.Dense(self.hidden, use_bias=False, kernel_init=go(),
                               name="lin_up")(x_kj))
 
@@ -160,9 +235,19 @@ class SphereNetUpdateV(nn.Module):
                         name="lin")(v)
 
 
-def spherenet_geometry(batch: GraphBatch):
+def spherenet_geometry(batch: GraphBatch, quad_chunk=None):
     """dist / angle / torsion from positions (xyz_to_dat numerics,
-    spherenet_layer.py:496-561) over precomputed static indices."""
+    spherenet_layer.py:496-561) over precomputed static indices.
+
+    ``quad_chunk`` (round 4, box scale): the torsion candidate set is
+    QUADRATIC in neighborhood size (Q ~ avg_degree * T quads — the hardest
+    static-shape case in the reference, spherenet_layer.py:535-546); its
+    [Q, 3] plane/cross intermediates are GBs at >=10k-node boxes.  Chunked
+    mode runs the per-quad dihedral + masked segment-min per block inside a
+    rematerialized lax.scan, combining blocks with jnp.minimum (min is
+    associative -> identical result)."""
+    import jax
+
     tri = batch.triplets
     pos = batch.pos
     j, i = batch.senders, batch.receivers
@@ -177,26 +262,60 @@ def spherenet_geometry(batch: GraphBatch):
 
     # torsion: dihedral between plane(ji, jk_t) and plane(ji, jk_n),
     # folded to (0, 2pi], min over candidates k_n per triplet.
-    q = tri.q_trip
-    pos_j0 = pos[tri.idx_k][q] - pos[tri.idx_j][q]
-    pos_ji_q = pos[tri.idx_i][q] - pos[tri.idx_j][q]
-    pos_jk_q = pos[tri.q_kn] - pos[tri.idx_j][q]
-    dist_ji = safe_norm(pos_ji_q, axis=-1)
-    plane1 = jnp.cross(pos_ji_q, pos_j0)
-    plane2 = jnp.cross(pos_ji_q, pos_jk_q)
-    a_t = jnp.sum(plane1 * plane2, axis=-1)
-    b_t = jnp.sum(jnp.cross(plane1, plane2) * pos_ji_q, axis=-1) / jnp.maximum(
-        dist_ji, 1e-9
-    )
-    torsion1 = safe_arctan2(b_t, a_t)
-    torsion1 = jnp.where(torsion1 <= 0, torsion1 + 2 * math.pi, torsion1)
-    # The k_n == k candidate is exactly coplanar (torsion 2*pi); XLA's FMA
-    # reassociation leaves b_t = +/-1e-9 which the 0/2pi fold amplifies to
-    # O(2pi) noise — pin it to the exact value.
-    degen = tri.q_kn == tri.idx_k[q]
-    torsion1 = jnp.where(degen, 2 * math.pi, torsion1)
     num_t = tri.idx_i.shape[0]
-    torsion = segment_min(torsion1, q, num_t, mask=tri.q_mask)
+
+    def quad_torsion(q, kn, qmask):
+        """Raw per-triplet segment-min over one block of quad candidates
+        (+inf where empty; the empty->0 fold happens once at the end)."""
+        pos_j = pos[tri.idx_j[q]]
+        pos_j0 = pos[tri.idx_k[q]] - pos_j
+        pos_ji_q = pos[tri.idx_i[q]] - pos_j
+        pos_jk_q = pos[kn] - pos_j
+        dist_ji = safe_norm(pos_ji_q, axis=-1)
+        plane1 = jnp.cross(pos_ji_q, pos_j0)
+        plane2 = jnp.cross(pos_ji_q, pos_jk_q)
+        a_t = jnp.sum(plane1 * plane2, axis=-1)
+        b_t = jnp.sum(
+            jnp.cross(plane1, plane2) * pos_ji_q, axis=-1
+        ) / jnp.maximum(dist_ji, 1e-9)
+        torsion1 = safe_arctan2(b_t, a_t)
+        torsion1 = jnp.where(torsion1 <= 0, torsion1 + 2 * math.pi, torsion1)
+        # The k_n == k candidate is exactly coplanar (torsion 2*pi); XLA's
+        # FMA reassociation leaves b_t = +/-1e-9 which the 0/2pi fold
+        # amplifies to O(2pi) noise — pin it to the exact value.
+        degen = kn == tri.idx_k[q]
+        torsion1 = jnp.where(degen, 2 * math.pi, torsion1)
+        pos_inf = jnp.asarray(jnp.inf, torsion1.dtype)
+        torsion1 = jnp.where(qmask, torsion1, pos_inf)
+        return jax.ops.segment_min(torsion1, q, num_segments=num_t)
+
+    Q = tri.q_trip.shape[0]
+    C = quad_chunk
+    if C is None or Q <= C:
+        raw = quad_torsion(tri.q_trip, tri.q_kn, tri.q_mask)
+    else:
+        n_chunks = -(-Q // C)
+        pad = n_chunks * C - Q
+
+        def pad_to(v, fill):
+            if not pad:
+                return v
+            tail = jnp.full((pad,) + v.shape[1:], fill, v.dtype)
+            return jnp.concatenate([v, tail], axis=0)
+
+        xs = (
+            pad_to(tri.q_trip, 0).reshape(n_chunks, C),
+            pad_to(tri.q_kn, 0).reshape(n_chunks, C),
+            pad_to(tri.q_mask, False).reshape(n_chunks, C),
+        )
+
+        @jax.checkpoint
+        def body(acc, z):
+            return jnp.minimum(acc, quad_torsion(*z)), ()
+
+        acc0 = jnp.full((num_t,), jnp.inf, dist.dtype)
+        raw, _ = jax.lax.scan(body, acc0, xs)
+    torsion = jnp.where(jnp.isfinite(raw), raw, 0)
     return dist, angle, torsion
 
 
@@ -222,6 +341,11 @@ class SphereNetModel(nn.Module):
     output_init: str = "GlorotOrthogonal"
     use_node_features: bool = True
     pool: str = "sum"
+    # box-scale memory strategies (round 4): triplet-block size for
+    # update_e (basis evaluated in-chunk) and quad-block size for the
+    # torsion candidate fold — see SphereNetUpdateE / spherenet_geometry.
+    triplet_chunk: Optional[int] = None
+    quad_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -229,14 +353,28 @@ class SphereNetModel(nn.Module):
             "SphereNet needs triplet+quad indices (with_quads=True)"
         )
         tri = batch.triplets
-        dist, angle, torsion = spherenet_geometry(batch)
+        dist, angle, torsion = spherenet_geometry(
+            batch, quad_chunk=self.quad_chunk)
 
         rbf = DistEmb(self.num_radial, self.cutoff, self.envelope_exponent,
                       zero_outside=False, name="dist_emb")(dist)
-        sbf = AngleEmb(self.num_spherical, self.num_radial, self.cutoff,
-                       name="angle_emb")(dist, angle, tri.idx_kj)
-        tbf = TorsionEmb(self.num_spherical, self.num_radial, self.cutoff,
-                         name="torsion_emb")(dist, angle, torsion, tri.idx_kj)
+        basis_ctx = None
+        if self.triplet_chunk is not None:
+            from ..ops.dimenet_basis import sph_bessel_rbf
+
+            sbf = tbf = None
+            basis_ctx = {
+                "rbf_sph": sph_bessel_rbf(dist, self.num_spherical,
+                                          self.num_radial, self.cutoff),
+                "angle": angle, "torsion": torsion,
+                "ns": self.num_spherical,
+            }
+        else:
+            sbf = AngleEmb(self.num_spherical, self.num_radial, self.cutoff,
+                           name="angle_emb")(dist, angle, tri.idx_kj)
+            tbf = TorsionEmb(self.num_spherical, self.num_radial, self.cutoff,
+                             name="torsion_emb")(dist, angle, torsion,
+                                                 tri.idx_kj)
         emb = (rbf, sbf, tbf)
 
         e = SphereNetInit(
@@ -254,8 +392,10 @@ class SphereNetModel(nn.Module):
                 self.basis_emb_size_dist, self.basis_emb_size_angle,
                 self.basis_emb_size_torsion, self.num_spherical,
                 self.num_radial, self.num_before_skip, self.num_after_skip,
+                triplet_chunk=self.triplet_chunk,
                 name=f"update_e_{blk}",
-            )(e, emb, tri.idx_kj, tri.idx_ji, tri.t_mask)
+            )(e, emb, tri.idx_kj, tri.idx_ji, tri.t_mask,
+              basis_ctx=basis_ctx)
             # NOTE: v is REPLACED each layer (spherenet.py:105), unlike
             # DimeNet's accumulated P
             v = SphereNetUpdateV(

@@ -213,6 +213,38 @@ class DistEmb(nn.Module):
         return env * jnp.sin(freq * x)
 
 
+def sph_bessel_rbf(dist, num_spherical: int, num_radial: int, cutoff: float):
+    """The per-EDGE radial half of the 2D/3D bases:
+    [E, ns*nr] of n_{l,k} j_l(z_{l,k} d/c).  Paramless; split out so the
+    scale path can compute it once per batch while the per-TRIPLET half
+    runs inside the triplet-chunk scan (the [T, ns*nr] product is the
+    memory giant at >=18M triplets, the [E, ns*nr] radial table is not)."""
+    ns, nr = num_spherical, num_radial
+    zeros = bessel_zeros(ns, nr)
+    norms = bessel_normalizers(ns, nr)
+    d = dist / cutoff
+    return jnp.stack(
+        [
+            norms[l][k] * spherical_bessel_jl(l, zeros[l][k] * d)
+            for l in range(ns)
+            for k in range(nr)
+        ],
+        axis=1,
+    )  # [E, ns*nr]
+
+
+def angle_cbf(angle, num_spherical: int):
+    """The per-TRIPLET angular half of the 2D basis: [T, ns] of
+    pref(l,0) * Ptilde_l0(cos angle)."""
+    ns = num_spherical
+    cos_t = jnp.cos(angle)
+    leg = _legendre_tilde(ns)
+    return jnp.stack(
+        [_sph_prefactor(l, 0) * _horner(leg[l][0], cos_t) for l in range(ns)],
+        axis=1,
+    )  # [T, ns]
+
+
 class AngleEmb(nn.Module):
     """2D (distance x angle) basis: n_{l,k} j_l(z_{l,k} d/c) * Y_l0(angle)
     (spherenet_layer.py:412-449 == PyG SphericalBasisLayer minus envelope).
@@ -226,23 +258,8 @@ class AngleEmb(nn.Module):
     @nn.compact
     def __call__(self, dist, angle, idx_kj):
         ns, nr = self.num_spherical, self.num_radial
-        zeros = bessel_zeros(ns, nr)
-        norms = bessel_normalizers(ns, nr)
-        d = dist / self.cutoff
-        rbf = jnp.stack(
-            [
-                norms[l][k] * spherical_bessel_jl(l, zeros[l][k] * d)
-                for l in range(ns)
-                for k in range(nr)
-            ],
-            axis=1,
-        )  # [E, ns*nr]
-        cos_t = jnp.cos(angle)
-        leg = _legendre_tilde(ns)
-        cbf = jnp.stack(
-            [_sph_prefactor(l, 0) * _horner(leg[l][0], cos_t) for l in range(ns)],
-            axis=1,
-        )  # [T, ns]
+        rbf = sph_bessel_rbf(dist, ns, nr, self.cutoff)
+        cbf = angle_cbf(angle, ns)
         out = rbf[idx_kj].reshape(-1, ns, nr) * cbf[:, :, None]
         return out.reshape(-1, ns * nr)
 
@@ -263,42 +280,39 @@ class TorsionEmb(nn.Module):
     @nn.compact
     def __call__(self, dist, angle, phi, idx_kj):
         ns, nr = self.num_spherical, self.num_radial
-        zeros = bessel_zeros(ns, nr)
-        norms = bessel_normalizers(ns, nr)
-        d = dist / self.cutoff
-        rbf = jnp.stack(
-            [
-                norms[l][k] * spherical_bessel_jl(l, zeros[l][k] * d)
-                for l in range(ns)
-                for k in range(nr)
-            ],
-            axis=1,
-        )  # [E, ns*nr]
-        cos_t = jnp.cos(angle)
-        sin_t = jnp.sin(angle)
-        leg = _legendre_tilde(ns)
-        # Y_lm(theta, phi) for all l<ns, m=-l..l, padded into an ns*ns grid:
-        # the reference flattens cbf as [T, ns, ns] where row l holds its
-        # (2l+1) m-components followed by... (sph_funcs appended in order l,
-        # then m=-l..l) — total sum(2l+1) = ns^2 entries exactly.
-        comps = []
-        for l in range(ns):
-            if l == 0:
-                comps.append(_sph_prefactor(0, 0) * jnp.ones_like(cos_t))
-                continue
-            # reference channel order within l: m = 0, +1..+l, -l..-1
-            # (spherenet_layer.py:476-478 indexing Y[l][k+l] over a list laid
-            # out as [m0, m1..ml, m-l..m-1])
-            for m in list(range(0, l + 1)) + list(range(-l, 0)):
-                am = abs(m)
-                pt = _horner(leg[l][am], cos_t) * sin_t**am
-                pref = _sph_prefactor(l, am)
-                if m == 0:
-                    comps.append(pref * pt)
-                elif m > 0:
-                    comps.append(math.sqrt(2.0) * pref * jnp.cos(m * phi) * pt)
-                else:
-                    comps.append(math.sqrt(2.0) * pref * jnp.sin(am * phi) * pt)
-        cbf = jnp.stack(comps, axis=1)  # [T, ns*ns]
+        rbf = sph_bessel_rbf(dist, ns, nr, self.cutoff)
+        cbf = torsion_cbf(angle, phi, ns)
         out = rbf[idx_kj].reshape(-1, 1, ns, nr) * cbf.reshape(-1, ns, ns, 1)
         return out.reshape(-1, ns * ns * nr)
+
+
+def torsion_cbf(angle, phi, num_spherical: int):
+    """The per-TRIPLET angular half of the 3D basis: [T, ns*ns] of real
+    Y_lm(theta, phi) in the reference's channel order."""
+    ns = num_spherical
+    cos_t = jnp.cos(angle)
+    sin_t = jnp.sin(angle)
+    leg = _legendre_tilde(ns)
+    # Y_lm(theta, phi) for all l<ns, m=-l..l, padded into an ns*ns grid:
+    # the reference flattens cbf as [T, ns, ns] where row l holds its
+    # (2l+1) m-components followed by... (sph_funcs appended in order l,
+    # then m=-l..l) — total sum(2l+1) = ns^2 entries exactly.
+    comps = []
+    for l in range(ns):
+        if l == 0:
+            comps.append(_sph_prefactor(0, 0) * jnp.ones_like(cos_t))
+            continue
+        # reference channel order within l: m = 0, +1..+l, -l..-1
+        # (spherenet_layer.py:476-478 indexing Y[l][k+l] over a list laid
+        # out as [m0, m1..ml, m-l..m-1])
+        for m in list(range(0, l + 1)) + list(range(-l, 0)):
+            am = abs(m)
+            pt = _horner(leg[l][am], cos_t) * sin_t**am
+            pref = _sph_prefactor(l, am)
+            if m == 0:
+                comps.append(pref * pt)
+            elif m > 0:
+                comps.append(math.sqrt(2.0) * pref * jnp.cos(m * phi) * pt)
+            else:
+                comps.append(math.sqrt(2.0) * pref * jnp.sin(am * phi) * pt)
+    return jnp.stack(comps, axis=1)  # [T, ns*ns]

@@ -44,15 +44,23 @@ MODELS = {
     "egnn_fused": dict(num_layers=4, emb_dim=128),
     "mace_ff": dict(num_layers=2, emb_dim=64, max_ell=3, correlation=3,
                     edge_chunk=8192),
+    "tfn_ff": dict(num_layers=4, emb_dim=64, max_ell=2, edge_chunk=8192),
+    "gvp": dict(num_layers=4),
     "dimenet": dict(num_layers=4, triplet_chunk=262144),
+    "spherenet": dict(num_layers=4, triplet_chunk=131072,
+                      quad_chunk=1048576),
     # smaller fallbacks tried automatically on OOM
 }
 FALLBACKS = {
     "schnet": dict(hidden_channels=64, num_filters=64),
     "dimenet": dict(hidden_channels=64, int_emb_size=32),
+    "spherenet": dict(hidden_channels=64, int_emb_size=32,
+                      triplet_chunk=65536),
     "egnn": dict(emb_dim=64),
     "egnn_fused": dict(emb_dim=64),
     "mace_ff": dict(emb_dim=32, edge_chunk=16384),
+    "tfn_ff": dict(emb_dim=32, edge_chunk=16384),
+    "gvp": dict(s_dim=64, v_dim=8),
 }
 
 
@@ -67,6 +75,10 @@ def build(name, cfg, avg_deg):
         from geometric_message_passing_tpu.models import MACEForceField
 
         return MACEForceField(in_dim=8, avg_num_neighbors=avg_deg, **cfg)
+    if name == "tfn_ff":
+        from geometric_message_passing_tpu.models import TFNForceField
+
+        return TFNForceField(in_dim=8, avg_num_neighbors=avg_deg, **cfg)
     return model_registry[name](out_dim=1, in_dim=8, **cfg)
 
 
@@ -115,7 +127,7 @@ def bench_one(name, cfg, batch, steps, reps=3):
         float(l)  # fetch EVERY timed call
     dt = time.time() - t0
     sps = steps * reps / dt
-    return {
+    row = {
         "model": name, "nodes": nodes, "edges": edges,
         "ms_per_step": round(1000.0 / sps, 2),
         "steps_per_sec": round(sps, 2),
@@ -123,6 +135,13 @@ def bench_one(name, cfg, batch, steps, reps=3):
         "cfg": {k: v for k, v in cfg.items()},
         "device": str(jax.devices()[0]),
     }
+    if batch.triplets is not None:
+        tri = int(np.asarray(jnp.sum(batch.triplets.t_mask)))
+        row["triplets"] = tri
+        row["triplets_per_sec"] = round(tri * sps, 0)
+        if batch.triplets.q_trip is not None:
+            row["quads"] = int(np.asarray(jnp.sum(batch.triplets.q_mask)))
+    return row
 
 
 def main():
@@ -149,6 +168,7 @@ def main():
         loader = GraphLoader(graphs, batch_size=1)
         batch = next(iter(loader))
         tri_batch = None
+        quad_batch = None
         steps = args.steps or max(4, min(40, 1_500_000 // n_nodes))
         for name in args.models.split(","):
             cfg = MODELS[name]
@@ -157,14 +177,22 @@ def main():
             # min; a 40-step MACE call at 30k nodes measured ~60s and
             # crashed the worker)
             m_steps = (max(2, steps // 10)
-                       if name in ("mace_ff", "dimenet") else steps)
+                       if name in ("mace_ff", "tfn_ff", "dimenet",
+                                   "spherenet") else steps)
             b = batch
-            if name in ("dimenet", "spherenet"):
+            if name == "dimenet":
                 if tri_batch is None:
                     tri_loader = GraphLoader(graphs, batch_size=1,
                                              with_triplets=True)
                     tri_batch = next(iter(tri_loader))
                 b = tri_batch
+            elif name == "spherenet":
+                if quad_batch is None:
+                    quad_loader = GraphLoader(graphs, batch_size=1,
+                                              with_triplets=True,
+                                              with_quads=True)
+                    quad_batch = next(iter(quad_loader))
+                b = quad_batch
             try:
                 row = bench_one(name, cfg, b, m_steps)
             except Exception as e:  # OOM etc. — retry the small config

@@ -274,7 +274,63 @@ def test_dimenet_triplet_chunk_matches_unchunked():
               out_emb_channels=16, num_spherical=4, num_radial=4,
               num_output_layers=1, in_dim=1, out_dim=1)
     model = DimeNetPPModel(**kw)
+    # default chunked path (round 4): basis evaluated inside the chunk body
     model_c = DimeNetPPModel(**kw, triplet_chunk=max(T // 3 - 1, 1))
+    # legacy chunked path: materialized [T, ns*nr] sbf fed through the scan
+    model_m = DimeNetPPModel(**kw, triplet_chunk=max(T // 3 - 1, 1),
+                             sbf_in_chunk=False)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    vc = model_c.init(jax.random.PRNGKey(0), batch)
+    assert (jax.tree_util.tree_structure(vc)
+            == jax.tree_util.tree_structure(variables))
+
+    out = np.asarray(model.apply(variables, batch))
+    out_c = np.asarray(model_c.apply(variables, batch))
+    np.testing.assert_allclose(out_c, out, rtol=2e-4, atol=2e-4)
+    out_m = np.asarray(model_m.apply(variables, batch))
+    np.testing.assert_allclose(out_m, out, rtol=2e-4, atol=2e-4)
+
+    def loss(m):
+        def f(params):
+            return jnp.sum(m.apply({"params": params}, batch) ** 2)
+        return f
+
+    g = jax.grad(loss(model))(variables["params"])
+    g_c = jax.grad(loss(model_c))(variables["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3),
+        g, g_c)
+
+
+def test_spherenet_triplet_quad_chunk_matches_unchunked():
+    """Round 4: SphereNet's box-scale strategies — triplet-chunked update_e
+    (basis in-chunk) + quad-chunked torsion fold — are execution-schedule
+    changes only: forward and grads must match the single-pass model
+    (chunk sizes that do not divide T / Q included)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geometric_message_passing_tpu import datasets as ds
+    from geometric_message_passing_tpu.graph import GraphLoader, pad_sizes
+    from geometric_message_passing_tpu.models import SphereNetModel
+    from geometric_message_passing_tpu.triplets import triplet_pad_sizes
+
+    data = ds.create_star_graphs(num=6, fold=[4, 5], dim=3, target="max",
+                                 seed=3)
+    loader = GraphLoader(data, batch_size=3, pad=pad_sizes(data, 3),
+                         with_triplets=True, with_quads=True,
+                         triplet_pad=triplet_pad_sizes(data, 3, True))
+    batch = next(iter(loader))
+    T = batch.triplets.idx_kj.shape[0]
+    Q = batch.triplets.q_trip.shape[0]
+
+    kw = dict(num_layers=2, hidden_channels=16, int_emb_size=8,
+              out_emb_channels=16, num_spherical=4, num_radial=4,
+              num_output_layers=1, in_dim=1, out_dim=1)
+    model = SphereNetModel(**kw)
+    model_c = SphereNetModel(**kw, triplet_chunk=max(T // 3 - 1, 1),
+                             quad_chunk=max(Q // 4 - 1, 1))
     variables = model.init(jax.random.PRNGKey(0), batch)
     vc = model_c.init(jax.random.PRNGKey(0), batch)
     assert (jax.tree_util.tree_structure(vc)

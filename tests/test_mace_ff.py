@@ -154,3 +154,64 @@ def test_mace_ff_folded_linear_matches(monkeypatch):
             == jax.tree_util.tree_structure(variables))
     out_f = np.asarray(model_f.apply(variables, batch))
     np.testing.assert_allclose(out_f, out, rtol=2e-4, atol=2e-4)
+
+
+def test_tfn_ff_runs_and_is_invariant():
+    """TFNForceField (scale TFN over the uvu conv) — shape, finiteness,
+    O(3) invariance of the scalar readout."""
+    from geometric_message_passing_tpu.models import TFNForceField
+
+    _, batch = _batch()
+    model = TFNForceField(num_layers=2, emb_dim=8, max_ell=2, in_dim=4,
+                          node_chunk=None)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+    assert out.shape == (batch.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    Q = ortho_group.rvs(3, random_state=1).astype(np.float32)
+    batch_r = batch.replace(pos=batch.pos @ Q.T + 0.31)
+    out_r = model.apply(variables, batch_r)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_tfn_ff_chunked_matches_unchunked():
+    """TFNForceField composes with the edge-chunked conv exactly."""
+    from geometric_message_passing_tpu.models import TFNForceField
+
+    _, batch = _batch(seed=5)
+    kw = dict(num_layers=2, emb_dim=8, max_ell=2, in_dim=4, node_chunk=None)
+    model = TFNForceField(**kw)
+    chunked = TFNForceField(**kw, edge_chunk=64)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    vc = chunked.init(jax.random.PRNGKey(0), batch)
+    assert (jax.tree_util.tree_structure(vc)
+            == jax.tree_util.tree_structure(variables))
+    out = np.asarray(model.apply(variables, batch))
+    out_c = np.asarray(chunked.apply(variables, batch))
+    np.testing.assert_allclose(out_c, out, rtol=2e-4, atol=2e-4)
+
+
+def test_tfn_ff_trains_a_step():
+    import optax
+
+    from geometric_message_passing_tpu.models import TFNForceField
+
+    _, batch = _batch(seed=7)
+    model = TFNForceField(num_layers=2, emb_dim=8, max_ell=1, in_dim=4,
+                          node_chunk=None)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    tx = optax.adam(1e-3)
+    opt = tx.init(variables["params"])
+
+    def loss_of(params):
+        out = model.apply({**variables, "params": params}, batch)
+        return jnp.sum(jnp.abs(out - batch.y))
+
+    l0 = float(loss_of(variables["params"]))
+    g = jax.grad(loss_of)(variables["params"])
+    updates, opt = tx.update(g, opt, variables["params"])
+    params = optax.apply_updates(variables["params"], updates)
+    l1 = float(loss_of(params))
+    assert np.isfinite(l0) and np.isfinite(l1) and l1 < l0
