@@ -38,6 +38,12 @@ class TFNModel(nn.Module):
     batch_norm: bool = False
     residual: bool = True
     equivariant_pred: bool = False
+    # mul-sharded tensor parallelism (parallel/tp.py, same recipe as
+    # MACEModel): constructed with LOCAL emb_dim (= full/k) under shard_map;
+    # channel-mixing ops psum over tp_axis.  Gate runs locally after the
+    # psum+slice (see nn/conv.py setup note on unsimplified gates).
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
     # bf16 storage/compute for the per-edge TP weight tensor (see
     # nn/conv.py::TensorProductConvLayer.weights_bf16) — opt-in speed knob;
     # measured tradeoff in RESULTS.md (star MAE degrades, paired_star doesn't)
@@ -79,6 +85,8 @@ class TFNModel(nn.Module):
                 aggr=self.aggr,
                 batch_norm=self.batch_norm,
                 gate=self.gate,
+                tp_axis=self.tp_axis,
+                tp_size=self.tp_size,
                 weights_bf16=self.weights_bf16,
                 tp_precision=self.tp_precision,
                 name=f"conv_{i}",
@@ -92,6 +100,18 @@ class TFNModel(nn.Module):
             )
 
         out = POOL[self.pool](h, batch)
+        if self.tp_axis is not None:
+            from ..nn.basic import RowParallelDense
+
+            if not self.equivariant_pred:
+                out = out[:, : self.emb_dim]  # local scalar slice
+                out = RowParallelDense(self.emb_dim * self.tp_size,
+                                       self.tp_axis, name="Dense_0")(out)
+                out = nn.relu(out)
+                # replicated after the psum; second Dense is replicated too
+                return nn.Dense(self.out_dim, name="Dense_1")(out)
+            return RowParallelDense(self.out_dim, self.tp_axis,
+                                    name="pred")(out)
         if not self.equivariant_pred:
             out = out[:, : self.emb_dim]  # scalar slice (tfn.py:188)
             # reference readout = raw torch Sequential(Linear, ReLU, Linear)

@@ -57,10 +57,21 @@ class TensorProductConvLayer(nn.Module):
 
     def setup(self):
         out_irreps = Irreps(self.out_irreps)
-        if self.tp_axis is not None:
-            assert not self.gate, "gate not supported under tensor parallelism"
         if self.gate:
             irreps_scalars, irreps_gates, irreps_gated = irreps2gate(out_irreps)
+            if self.tp_axis is not None and irreps_gated.num_irreps > 0:
+                # Under mul-sharded TP the gates must stay UNSIMPLIFIED (one
+                # 0e entry per gated irrep): shard_mul_slice slices each
+                # output entry's mul axis independently, so a merged gates
+                # entry would pair shard p's gated channels with the wrong
+                # gate scalars.  Per-entry gates keep channel correspondence
+                # exact; the TP function is unchanged (same per-entry fan-in
+                # normalization, weight columns merely regrouped — the
+                # sharder maps them, parallel/tp.py::_head_col_index).
+                from ..irreps import Irrep
+
+                irreps_gates = Irreps(
+                    [(mul, Irrep(0, 1)) for mul, _ in irreps_gated])
             if irreps_gated.num_irreps == 0:
                 self._gate = Activation(out_irreps, act="silu")
                 tp_out = out_irreps

@@ -43,57 +43,160 @@ def tp_local_model(model, tp_size: int, axis: str = "tp"):
     """The per-shard module for a full MACEModel: local emb width, psums on
     the mixing ops."""
     assert model.emb_dim % tp_size == 0, (model.emb_dim, tp_size)
-    return model.clone(emb_dim=model.emb_dim // tp_size,
-                       tp_axis=axis, tp_size=tp_size)
+    kw = dict(emb_dim=model.emb_dim // tp_size, tp_axis=axis,
+              tp_size=tp_size)
+    if getattr(model, "hidden_irreps", None) is not None:
+        hid = Irreps(model.hidden_irreps)
+        assert all(mul % tp_size == 0 for mul, _ in hid), (hid, tp_size)
+        kw["hidden_irreps"] = str(
+            Irreps([(mul // tp_size, ir) for mul, ir in hid]))
+    return model.clone(**kw)
 
 
 def _fc_group_weight_cols(model, layer: int, group: int, tp_size: int,
                           shard: int) -> np.ndarray:
     """Column indices of the full edge-MLP group-``group`` head kernel that
-    belong to ``shard``: for every TP path in the group, the weight block is
-    [mul_in, mul_out] row-major, and a shard owns the rows of its input
-    channels (row-parallel over the irrep multiplicity)."""
+    belong to ``shard`` (identity-entry-map case; kept for MACE's direct
+    layout where local and full TP groups correspond 1:1): for every TP path
+    in the group, the weight block is [mul_in, mul_out] row-major, and a
+    shard owns the rows of its input channels (row-parallel over the irrep
+    multiplicity)."""
+    _, cols = _conv_head_cols(model, layer, tp_size, shard)[group]
+    return cols
+
+
+def _conv_tp_pair(model, layer: int, tp_size: int):
+    """(full_tp, local_tp, entry_map) for conv layer ``layer`` of a
+    TensorProductConvLayer-stack model (MACE, TFN).
+
+    ``full_tp`` is the single-device model's edge TP; ``local_tp`` is the TP
+    a 1/k mul-shard builds (local-mul inputs -> FULL-mul outputs, i.e. the
+    layer's ``_tp_out_full``); ``entry_map[i_out_local] = (i_out_full,
+    col_offset)`` locates each local output entry inside the full model's
+    output entries.  The map is non-trivial exactly when the model gates:
+    the full model's gate scalars simplify into ONE 0e entry while the
+    sharded layer keeps one gates entry PER gated irrep (nn/conv.py setup),
+    so a local gates entry maps into a column RANGE of the merged full
+    entry."""
+    from ..nn.equivariant import irreps2gate, scale_mul
+
     sh_irreps = Irreps.spherical_harmonics(model.max_ell)
-    hidden = (
+    hid_f = (
         Irreps(model.hidden_irreps) if model.hidden_irreps is not None
         else (sh_irreps * model.emb_dim).sort().simplify()
     )
-    in_irreps = (Irreps(f"{model.emb_dim}x0e") if layer == 0 else hidden)
-    tp_full = EdgeTensorProduct(in_irreps, sh_irreps, hidden)
-    start = sum(g[1] for g in tp_full._groups[:group])
-    n_p = tp_full._groups[group][1]
-    cols, off = [], 0
-    for p in tp_full.paths[start : start + n_p]:
-        u, w = p.mul_in1, p.mul_out
-        u_loc = u // tp_size
-        blk = np.arange(u * w).reshape(u, w)
-        cols.append(off + blk[shard * u_loc : (shard + 1) * u_loc].reshape(-1))
-        off += u * w
-    return np.concatenate(cols)
+    assert all(mul % tp_size == 0 for mul, _ in hid_f), (hid_f, tp_size)
+    hid_l = Irreps([(mul // tp_size, ir) for mul, ir in hid_f])
+    use_gate = bool(getattr(model, "gate", False))
+    if use_gate:
+        s_f, g_f, gd_f = irreps2gate(hid_f)
+        use_gate = gd_f.num_irreps > 0
+    if use_gate:
+        tp_out_f = s_f + g_f + gd_f
+        s_l, _, gd_l = irreps2gate(hid_l)
+        from ..irreps import Irrep
+
+        g_l = Irreps([(mul, Irrep(0, 1)) for mul, _ in gd_l])
+        tp_out_l = s_l + g_l + gd_l
+        entry_map = {}
+        for j in range(len(list(s_l))):
+            entry_map[j] = (j, 0)
+        # gates: local entries tile the (possibly merged) full gates entries
+        nf_s, nl_s = len(list(s_f)), len(list(s_l))
+        g_f_list, g_l_list = list(g_f), list(g_l)
+        cum = 0          # cumulative FULL-channel offset into the gates
+        f_j, f_off = 0, 0
+        for j, (mul_l, _) in enumerate(g_l_list):
+            w = mul_l * tp_size
+            while cum >= f_off + g_f_list[f_j][0]:
+                f_off += g_f_list[f_j][0]
+                f_j += 1
+            assert cum + w <= f_off + g_f_list[f_j][0]
+            entry_map[nl_s + j] = (nf_s + f_j, cum - f_off)
+            cum += w
+        for j in range(len(list(gd_l))):
+            entry_map[nl_s + len(g_l_list) + j] = (
+                nf_s + len(g_f_list) + j, 0)
+    else:
+        tp_out_f = hid_f
+        tp_out_l = hid_l
+        entry_map = {j: (j, 0) for j in range(len(list(hid_l)))}
+    in_f = Irreps(f"{model.emb_dim}x0e") if layer == 0 else hid_f
+    in_l = (Irreps(f"{model.emb_dim // tp_size}x0e") if layer == 0
+            else hid_l)
+    full_tp = EdgeTensorProduct(in_f, sh_irreps, tp_out_f)
+    local_tp = EdgeTensorProduct(in_l, sh_irreps,
+                                 scale_mul(tp_out_l, tp_size))
+    return full_tp, local_tp, entry_map
+
+
+def _conv_head_cols(model, layer: int, tp_size: int, shard: int):
+    """Per LOCAL fc_out head of conv ``layer``: (full_group_index, column
+    index array into the FULL model's fc_out{full_group} kernel/bias last
+    axis) for mul-shard ``shard``.  Derived purely from the two TP
+    descriptors — no model-specific name knowledge beyond the conv stack
+    convention, so MACE and TFN share this code path."""
+    full_tp, local_tp, entry_map = _conv_tp_pair(model, layer, tp_size)
+    group_of_entry = {g[0]: gi for gi, g in enumerate(full_tp._groups)}
+    # per full group: (i_in1, i_in2) -> (flat base offset, w_full)
+    path_base = {}
+    for gi, (i_out, n_p, _, _, _, _, _) in enumerate(full_tp._groups):
+        off = 0
+        for p in full_tp.paths:
+            if p.i_out != i_out:
+                continue
+            path_base[(gi, p.i_in1, p.i_in2)] = (off, p.mul_out)
+            off += p.mul_in1 * p.mul_out
+    out = []
+    for (i_out_l, n_p, _, _, _, _, w_l) in local_tp._groups:
+        gf, col_off = entry_map[i_out_l]
+        gi = group_of_entry[gf]
+        cols = []
+        for p in local_tp.paths:
+            if p.i_out != i_out_l:
+                continue
+            base, w_f = path_base[(gi, p.i_in1, p.i_in2)]
+            u_loc = p.mul_in1
+            rows = base + (shard * u_loc + np.arange(u_loc)) * w_f
+            cols.append(
+                (rows[:, None] + (col_off + np.arange(w_l))[None, :])
+                .reshape(-1))
+        out.append((gi, np.concatenate(cols)))
+    return out
 
 
 def shard_mace_variables(variables, model, tp_size: int):
-    """Split a FULL MACEModel's variables into tp_size mul-shards, stacked on
-    a leading axis (ready for shard_map in_spec P('tp'))."""
+    """Split a FULL model's variables into tp_size mul-shards, stacked on a
+    leading axis (ready for shard_map in_spec P('tp')).  Despite the
+    historical name this is the GENERIC rule-based sharder: rules match on
+    the structural role of each parameter (embedding table, edge-MLP trunk,
+    per-channel stats, irrep-mul weight rows, readout), and the fc_out head
+    columns come from the TP descriptors (``_conv_head_cols``) — the same
+    code path shards MACEModel and TFNModel (gate head regrouping
+    included)."""
+    head_cols = {}  # layer -> list of (full_group, cols) per shard
+
+    def conv_heads(layer, p):
+        if (layer, p) not in head_cols:
+            head_cols[(layer, p)] = _conv_head_cols(model, layer, tp_size, p)
+        return head_cols[(layer, p)]
+
     out_cols = {}
     for col, tree in variables.items():
         flat = traverse_util.flatten_dict(tree)
         shards = [dict() for _ in range(tp_size)]
+        renamed = {}   # output key order (fc_out heads can be regrouped)
         for path, x in flat.items():
             x = np.asarray(x)
             key = "/".join(path)
+            if "/fc_out" in key:
+                # handled below via the head map (local head count may
+                # differ from the full model's when gates regroup)
+                continue
             if col == "u_tables":
                 parts = [x] * tp_size   # channel-free CG constants: replicate
             elif key.startswith("emb_in/"):
                 parts = np.split(x, tp_size, axis=-1)
-            elif "/fc_out" in key:
-                layer = int(path[0].split("_")[1])
-                group = int(path[1][len("fc_out"):])
-                parts = [
-                    x[..., _fc_group_weight_cols(model, layer, group,
-                                                 tp_size, p)]
-                    for p in range(tp_size)
-                ]
             elif "/fc/" in key:
                 parts = [x] * tp_size                       # replicated
             elif "/_bn/" in key or "/SymmetricContraction" in key:
@@ -108,12 +211,32 @@ def shard_mace_variables(variables, model, tp_size: int):
                 raise ValueError(f"no TP sharding rule for {col}:{key}")
             for p in range(tp_size):
                 shards[p][path] = parts[p]
+        # fc_out heads: regroup via the TP-descriptor column map.  The
+        # LOCAL head list can be longer than the full model's (gate case),
+        # so local head g_l reads columns of FULL head ``gf``.
+        conv_layers = sorted({
+            int(path[0].split("_")[1]) for path in flat
+            if len(path) >= 2 and path[1].startswith("fc_out")
+        })
+        for i in conv_layers:
+            for p in range(tp_size):
+                for g_l, (gf, cols) in enumerate(conv_heads(i, p)):
+                    for leaf in ("kernel", "bias"):
+                        src = flat.get((f"conv_{i}", f"fc_out{gf}", leaf))
+                        if src is None:
+                            continue
+                        shards[p][(f"conv_{i}", f"fc_out{g_l}", leaf)] = (
+                            np.asarray(src)[..., cols])
         stacked = {
             path: jnp.stack([shards[p][path] for p in range(tp_size)])
-            for path in flat
+            for path in shards[0]
         }
         out_cols[col] = traverse_util.unflatten_dict(stacked)
     return out_cols
+
+
+# alias: the rule-based sharder is model-agnostic (MACE, TFN, ...)
+shard_model_variables = shard_mace_variables
 
 
 def tp_apply(model, sharded_variables, mesh: Mesh, axis: str = "tp"):

@@ -413,3 +413,133 @@ def test_equivariant_batchnorm_masked_matches_subset():
         np.asarray(y)[:n_real], y_ref, rtol=2e-4, atol=2e-4
     )
     _sync_check(variables, ref)
+
+
+# ---------------------------------------------------------------------------
+# Composed golden: one full TensorProductConvLayer forward (round-4 VERDICT
+# item 8).  Everything below the flax layer is re-derived by hand in f64
+# numpy — hand-coded Wigner-3j closed forms, e3nn 'element' path
+# normalization computed from scratch, the fc-MLP + per-group weight heads,
+# the reference's dst->src aggregation quirk (tfn_layer.py:83-87), edge
+# masking, and a BatchNorm TRAIN step (batch stats + running-stat roll).
+# The only thing shared with the library is the extracted parameter arrays.
+# ---------------------------------------------------------------------------
+
+
+def _conv_golden_setup():
+    import jax
+
+    global jnp
+    import jax.numpy as jnp
+
+    from geometric_message_passing_tpu.nn.conv import TensorProductConvLayer
+
+    in_irreps = Irreps("2x0e+2x1o")
+    sh_irreps = Irreps("1x0e+1x1o")
+    out_irreps = Irreps("2x0e+2x1o")
+    layer = TensorProductConvLayer(
+        in_irreps=in_irreps, out_irreps=out_irreps, sh_irreps=sh_irreps,
+        mlp_dim=5, batch_norm=True)
+    rng = np.random.default_rng(42)
+    N, E = 4, 6
+    nf = rng.standard_normal((N, in_irreps.dim)).astype(np.float32)
+    sh = rng.standard_normal((E, sh_irreps.dim)).astype(np.float32)
+    ef = rng.standard_normal((E, 3)).astype(np.float32)
+    snd = np.array([0, 1, 2, 3, 0, 1], np.int32)
+    rcv = np.array([1, 2, 3, 0, 2, 3], np.int32)
+    # last edge is padding: must not contribute to node 1
+    mask = np.array([1, 1, 1, 1, 1, 0], bool)
+    variables = layer.init(jax.random.PRNGKey(3), nf, snd, rcv, sh, ef)
+    return layer, variables, (nf, snd, rcv, sh, ef, mask), (N, E)
+
+
+def _conv_golden_numpy(params, nf, snd, rcv, sh, ef, mask, N):
+    """f64 hand derivation of the layer forward up to (and excluding) BN."""
+    # -- hand-coded unit-Frobenius Wigner 3j in the (y,z,x) l=1 basis.
+    # w3j(0,0,0)=1; w3j(0,1,1)=w3j(1,0,1)=I/sqrt(3) (scalar coupling is a
+    # scaled identity); w3j(1,1,0)[i,j]=delta_ij/sqrt(3) (the invariant
+    # bilinear of two vectors is the dot product).
+    s3 = 1.0 / math.sqrt(3.0)
+    # -- e3nn path normalization (component/element), derived from scratch:
+    # both output groups are fed by two paths of fan mul1*mul2 = 2 each, so
+    # alpha(0e) = sqrt(dim(0e)/4) = 1/2, alpha(1o) = sqrt(3/4).
+    a0 = math.sqrt(1.0 / 4.0)
+    a1 = math.sqrt(3.0 / 4.0)
+    # -- fc MLP trunk (one Dense + relu, act_final) and the per-group heads
+    K0 = np.asarray(params["fc"]["Dense_0"]["kernel"], np.float64)
+    b0 = np.asarray(params["fc"]["Dense_0"]["bias"], np.float64)
+    a = np.maximum(ef.astype(np.float64) @ K0 + b0, 0.0)
+    W = []
+    for g in range(2):
+        Kg = np.asarray(params[f"fc_out{g}"]["kernel"], np.float64)
+        bg = np.asarray(params[f"fc_out{g}"]["bias"], np.float64)
+        # [E, n_p=2, u=2, w=2] — path-major, then (u, w) row-major
+        W.append((a @ Kg + bg).reshape(-1, 2, 2, 2))
+    E = nf.shape[0] and sh.shape[0]
+    x = nf.astype(np.float64)[rcv]           # dst gather (the quirk)
+    x0 = x[:, 0:2].reshape(E, 2, 1)          # 2x0e
+    x1 = x[:, 2:8].reshape(E, 2, 3)          # 2x1o
+    s0 = sh.astype(np.float64)[:, 0]         # 1x0e
+    s1 = sh.astype(np.float64)[:, 1:4]       # 1x1o
+    # group 0e: paths (0e x 0e -> 0e), (1o x 1o -> 0e)
+    t00 = a0 * x0[:, :, 0] * s0[:, None]                       # [E, u]
+    t01 = a0 * s3 * np.einsum("eum,em->eu", x1, s1)            # [E, u]
+    out0 = np.einsum("euw,eu->ew", W[0][:, 0], t00) + np.einsum(
+        "euw,eu->ew", W[0][:, 1], t01)                         # [E, w]
+    # group 1o: paths (0e x 1o -> 1o), (1o x 0e -> 1o)
+    t10 = a1 * s3 * x0[:, :, 0:1] * s1[:, None, :]             # [E, u, 3]
+    t11 = a1 * s3 * x1 * s0[:, None, None]                     # [E, u, 3]
+    out1 = np.einsum("euw,eum->ewm", W[1][:, 0], t10) + np.einsum(
+        "euw,eum->ewm", W[1][:, 1], t11)                       # [E, w, 3]
+    msg = np.concatenate([out0, out1.reshape(E, 6)], axis=1)
+    msg = msg * mask[:, None]
+    agg = np.zeros((N, 8))
+    np.add.at(agg, snd, msg)                 # scatter to src (the quirk)
+    return agg
+
+
+def test_tp_conv_layer_composed_golden():
+    import jax
+
+    layer, variables, (nf, snd, rcv, sh, ef, mask), (N, E) = (
+        _conv_golden_setup())
+    y, updates = layer.apply(
+        variables, nf, snd, rcv, sh, ef, edge_mask=jnp.asarray(mask),
+        train=True, mutable=["batch_stats"])
+    agg = _conv_golden_numpy(variables["params"], nf, snd, rcv, sh, ef,
+                             mask, N)
+    ref_bn = _RefBatchNorm(Irreps("2x0e+2x1o"))
+    y_ref = ref_bn(agg, training=True)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-5)
+    # the BN TRAIN step must also have rolled the running stats exactly
+    stats = updates["batch_stats"]["_bn"]
+    np.testing.assert_allclose(np.asarray(stats["mean0"]),
+                               ref_bn.running_mean, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(stats["var0"]),
+                        np.asarray(stats["var1"])]),
+        ref_bn.running_var, rtol=1e-5, atol=1e-7)
+
+
+def test_tp_conv_layer_composed_golden_per_path_dispatch(monkeypatch):
+    """The same golden must hold on the per-path fallback (the >=4096-edge
+    scale dispatch of EdgeTensorProductUVU has its FCTP analog here in
+    _apply_per_path): force it by monkeypatching away the combined path."""
+    from geometric_message_passing_tpu.nn.tensor_product import (
+        EdgeTensorProduct,
+    )
+
+    layer, variables, (nf, snd, rcv, sh, ef, mask), (N, E) = (
+        _conv_golden_setup())
+    monkeypatch.setattr(
+        EdgeTensorProduct, "_apply_combined",
+        lambda self, x, sh, weights, ws=None: self._apply_per_path(
+            x, sh,
+            weights if ws is None else jnp.concatenate(ws, axis=-1)))
+    y, _ = layer.apply(
+        variables, nf, snd, rcv, sh, ef, edge_mask=jnp.asarray(mask),
+        train=True, mutable=["batch_stats"])
+    agg = _conv_golden_numpy(variables["params"], nf, snd, rcv, sh, ef,
+                             mask, N)
+    y_ref = _RefBatchNorm(Irreps("2x0e+2x1o"))(agg, training=True)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-5)

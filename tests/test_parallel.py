@@ -191,6 +191,61 @@ class TestTensorParallel:
                 rtol=1e-3, atol=1e-3)
 
 
+def test_tfn_tensor_parallel_matches_single_device():
+    """The rule-based sharder (parallel/tp.py::shard_model_variables) is
+    model-agnostic: a 4-way mul-shard of TFNModel — whose conv GATES, so the
+    local TP output regroups the merged full-model gates entry into
+    per-gated-irrep entries — must reproduce the single-device forward
+    exactly, and per-shard gradients must slice the full gradients."""
+    import optax
+
+    from geometric_message_passing_tpu import datasets as ds
+    from geometric_message_passing_tpu.graph import (
+        assemble_batch, build_slot_data)
+    from geometric_message_passing_tpu.models import TFNModel
+    from geometric_message_passing_tpu.parallel.mesh import make_mesh
+    from geometric_message_passing_tpu.parallel.tp import (
+        shard_model_variables, tp_apply, tp_train_step)
+
+    graphs = ds.create_star_graphs(num=6, fold=[3, 4], dim=3,
+                                   target="max", seed=0)
+    slot = build_slot_data(graphs)
+    batch = assemble_batch(slot, jnp.arange(6, dtype=jnp.int32))
+    model = TFNModel(num_layers=2, emb_dim=8, in_dim=1, out_dim=1,
+                     max_ell=2, pool="sum")
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    full_out = model.apply(variables, batch)
+
+    mesh = make_mesh((4,), ("tp",), devices=jax.devices()[:4])
+    shards = shard_model_variables(variables, model, 4)
+    out = tp_apply(model, shards, mesh)(shards, batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full_out),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradient check via lr=1 sgd probing: new = old - grad
+    def loss_fn(pred, b):
+        return jnp.sum(jnp.abs(pred - b.y) * b.graph_mask[:, None])
+
+    def full_loss(params):
+        pred = model.apply({**variables, "params": params}, batch,
+                           rngs={"dropout": jax.random.PRNGKey(0)})
+        return loss_fn(pred, batch)
+
+    g_full = jax.grad(full_loss)(variables["params"])
+    tx1 = optax.sgd(1.0)
+    opt1 = jax.vmap(tx1.init)(shards["params"])
+    step1 = tp_train_step(model, tx1, mesh, loss_fn)
+    new_vars1, _, _ = step1(shards, opt1, batch)
+    g_shard = jax.tree.map(lambda a, b: a - b, shards["params"],
+                           new_vars1["params"])
+    g_emb_full = np.asarray(g_full["emb_in"]["embedding"])
+    g_emb_shard = np.asarray(g_shard["emb_in"]["embedding"])
+    for p in range(4):
+        np.testing.assert_allclose(
+            g_emb_shard[p], g_emb_full[..., p * 2 : (p + 1) * 2],
+            rtol=1e-3, atol=1e-3)
+
+
 def test_packed_halo_matches_single_device():
     """Packed boundary-only halo exchange (build_halo_plan +
     packed_halo_aggregate) reproduces the single-device gather->message->
