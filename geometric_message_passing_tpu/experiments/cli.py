@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     # others: default).
     p.add_argument("--tp_precision", type=str, default="model",
                    choices=["model", "default", "highest"])
+    # MACE only: which stages get tp_precision ('all' = conv TP + product
+    # basis; 'conv' / 'prod' = that stage only) — round-4 scoping ablation
+    p.add_argument("--tp_precision_scope", type=str, default="all",
+                   choices=["all", "conv", "prod", "heads"])
     return p
 
 
@@ -118,7 +122,8 @@ def make_model_func(args):
     if name == "mace":
         return partial(base, max_ell=args.max_ell, correlation=args.max_corr,
                        equivariant_pred=args.equivariant, pool=args.pool,
-                       weights_bf16=args.bf16_tp_weights, **prec)
+                       weights_bf16=args.bf16_tp_weights,
+                       tp_precision_scope=args.tp_precision_scope, **prec)
     return partial(base, equivariant_pred=args.equivariant, pool=args.pool)
 
 

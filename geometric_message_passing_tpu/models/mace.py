@@ -56,6 +56,22 @@ class MACEModel(nn.Module):
     # quality-critical at these scales... they feed the TP which rounds
     # identically either way).
     tp_precision: Optional[str] = "highest"
+    # which stages get tp_precision: 'all' (conv TP + product basis),
+    # 'conv' (edge TP only), 'prod' (symmetric contraction + product
+    # linear only) or 'heads' (= all + the fc weight-head GEMMs — one step
+    # short of full f32).  Round-4 scoping ablation (n=5, RESULTS.md):
+    # conv-only 0.0766 +- 0.0013 at ~31 s/run vs all 0.0784 +- 0.0018 at
+    # 34 s vs full-f32 0.0774 +- 0.0023 at 44 s vs ref 0.0766 — the edge TP
+    # is THE precision-sensitive stage; exact-f32 there alone reaches
+    # reference parity at the lowest cost, so 'conv' is the default.
+    tp_precision_scope: str = "conv"
+
+    def _scoped_precision(self, stage: str) -> Optional[str]:
+        if self.tp_precision is None:
+            return None
+        scopes = ("all", "heads") if stage != "heads" else ("heads",)
+        return (self.tp_precision
+                if self.tp_precision_scope in scopes + (stage,) else None)
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -89,7 +105,8 @@ class MACEModel(nn.Module):
                 tp_axis=self.tp_axis,
                 tp_size=self.tp_size,
                 weights_bf16=self.weights_bf16,
-                tp_precision=self.tp_precision,
+                tp_precision=self._scoped_precision("conv"),
+                head_precision=self._scoped_precision("heads"),
                 name=f"conv_{i}",
             )(h, batch.senders, batch.receivers, edge_sh, edge_feats,
               edge_mask=batch.edge_mask, node_mask=batch.node_mask, train=train)
@@ -104,7 +121,7 @@ class MACEModel(nn.Module):
                 num_elements=self.in_dim,
                 tp_axis=self.tp_axis,
                 tp_size=self.tp_size,
-                precision=self.tp_precision,
+                precision=self._scoped_precision("prod"),
                 name=f"prod_{i}",
             )(reshape_irreps(h_update, hidden), sc, None)
 

@@ -54,6 +54,11 @@ class TensorProductConvLayer(nn.Module):
     # ablation, RESULTS.md), so MACEModel passes 'highest' here while the
     # FLOP-bound edge-MLP head GEMMs stay at default precision.
     tp_precision: Optional[str] = None
+    # matmul precision for the fc weight-HEAD GEMMs (the producers of the
+    # per-edge TP weight operand — the rounding-sensitive input of the TP,
+    # round-3 ablation).  Separate from tp_precision so the scoping ablation
+    # can price this stage alone (round-4 VERDICT item 4b).
+    head_precision: Optional[str] = None
 
     def setup(self):
         out_irreps = Irreps(self.out_irreps)
@@ -117,6 +122,7 @@ class TensorProductConvLayer(nn.Module):
         head_dtype = "bfloat16" if self.weights_bf16 else None
         self.fc_heads = [
             nn.Dense(n, dtype=head_dtype,
+                     precision=self.head_precision,
                      kernel_init=torch_linear_kernel_init,
                      bias_init=torch_linear_bias_init(self.mlp_dim),
                      name=f"fc_out{g}")
