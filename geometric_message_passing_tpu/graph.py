@@ -491,3 +491,14 @@ def random_split(dataset: Sequence, fractions: Sequence[float], seed: int = 0):
         out.append([dataset[int(i)] for i in perm[off : off + s]])
         off += s
     return out
+
+
+def sort_edges_by_receiver(g: Graph) -> Graph:
+    """Reorder a graph's edge list by receiver (edge_index[1]) — the layout
+    the sorted-segment Pallas kernel (ops/pallas_sorted_segsum.py) exploits:
+    the receiver-side tile plan becomes an identity permutation.  Pure
+    reordering: every edge-permutation-invariant consumer (all models) is
+    unaffected up to f32 reduction order."""
+    ei = np.asarray(g.edge_index)
+    order = np.argsort(ei[1], kind="stable")
+    return Graph(g.atoms, ei[:, order], g.pos, g.y)

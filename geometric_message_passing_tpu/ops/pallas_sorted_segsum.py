@@ -17,21 +17,22 @@ range of the data array.  Each grid step then:
   * accumulates ``onehot^T @ data`` on the MXU into the tile's [128, D]
     output block.
 
-Work: O(E x 128) MXU FLOPs instead of XLA's row-serial scatter-add —
-measured ~10x faster fwd at 100k/128 (scripts/trial_sorted_segsum.py).
-The backward of a segment-sum is a plain gather (cheap in XLA), wired via
-custom_vjp.
+Work: O(E x 128) MXU FLOPs instead of XLA's row-serial scatter-add
+(measured on-chip in scripts/trial_sorted_segsum.py).  The backward of a
+segment-sum is a plain gather (cheap in XLA), wired via custom_vjp with
+float0 cotangents for the integer plan arrays.
 
 The plan (permutation to sorted order + per-tile window starts + local ids)
 is built once per graph on the host (numpy) — static shapes, reusable every
-step.
+step.  All plan arrays are passed as ARGUMENTS, never closures: a closed-
+over device array is inlined into the HLO as a literal, and a multi-MB
+literal kills the remote compile helper (CLAUDE.md; observed: HTTP 413).
 """
 
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,75 +46,69 @@ TILE = 128          # segments per grid step (output block rows)
 BE = 512            # edge rows per data sub-block
 
 
-@dataclass(frozen=True)
-class SegmentTilePlan:
-    """Host-built plan for sorted_segment_sum_pallas.
+class SegPlanCfg(NamedTuple):
+    """Static (hashable) part of a segment tile plan."""
 
-    perm: [E] int32 — permutation bringing edges to segment-sorted order
-          (identity when the graph is already receiver-sorted).
-    starts: [n_tiles] int32 — BE-aligned window start (in BE units) of each
-          tile's edge range in the SORTED order.
-    local: [n_tiles, J*BE] int32 — local segment id (0..TILE-1) of each row
-          of the tile's window, -1 for rows outside the tile or masked.
-    num_segments, n_tiles, j_blocks: ints.
-    """
-
-    perm: np.ndarray
-    starts: np.ndarray
-    local: np.ndarray
     num_segments: int
     n_tiles: int
     j_blocks: int
+    e_pad: int
+    interpret: bool = False
+    identity_perm: bool = False   # edges already segment-sorted: skip the
+    #                               [E, D] permutation gather entirely
 
-    def tree_flatten(self):  # pragma: no cover - convenience only
-        raise TypeError("SegmentTilePlan is static host data")
+
+class SegmentTilePlan(NamedTuple):
+    """Host-built plan for ``sorted_segment_sum``: static cfg + the device
+    arrays (pass each array through your jit boundary as an argument)."""
+
+    cfg: SegPlanCfg
+    perm: np.ndarray      # [E] int32 sort permutation
+    starts: np.ndarray    # [n_tiles] int32 window start, in BE units
+    local: np.ndarray     # [n_tiles, J, BE] int32 local ids, -1 = dead row
 
 
 def build_segment_tile_plan(segment_ids, num_segments: int, mask=None,
                             tile: int = TILE, be: int = BE,
-                            j_blocks: Optional[int] = None) -> SegmentTilePlan:
-    """Build the tile plan for ``segment_ids`` (any order; the plan holds the
-    sorting permutation).  ``j_blocks`` (window size in BE units) defaults to
-    the smallest J covering the densest tile."""
+                            j_blocks: Optional[int] = None,
+                            interpret: bool = False) -> SegmentTilePlan:
+    """Build the tile plan for ``segment_ids`` (any order; the plan holds
+    the sorting permutation).  ``j_blocks`` (window size in BE units)
+    defaults to the smallest J covering the densest tile."""
     seg = np.asarray(segment_ids, np.int64)
     e = seg.shape[0]
-    if mask is not None:
-        m = np.asarray(mask, bool)
-    else:
-        m = np.ones(e, bool)
+    m = np.ones(e, bool) if mask is None else np.asarray(mask, bool)
     # masked rows sort to the end (segment id ~ +inf) so they never land in
     # a tile's window
     key = np.where(m, seg, num_segments + tile)
     perm = np.argsort(key, kind="stable").astype(np.int32)
     seg_s = key[perm]
     n_tiles = -(-num_segments // tile)
-    # first sorted row of each tile, aligned DOWN to a BE boundary
-    tile_first = np.searchsorted(seg_s, np.arange(n_tiles) * tile,
-                                 side="left")
+    tile_first = np.searchsorted(seg_s, np.arange(n_tiles) * tile, "left")
     tile_last = np.searchsorted(seg_s, (np.arange(n_tiles) + 1) * tile,
-                                side="left")   # exclusive
+                                "left")
     starts = (tile_first // be).astype(np.int32)
     if j_blocks is None:
         span = tile_last - starts * be
-        j_blocks = max(1, int(-(-(span.max()) // be))) if e else 1
-    # guard: a tile denser than the window would silently drop edges
+        j_blocks = max(1, int(-(-int(span.max()) // be))) if e else 1
     assert np.all(tile_last - starts * be <= j_blocks * be), (
         "tile window overflow: raise j_blocks")
     local = np.full((n_tiles, j_blocks * be), -1, np.int32)
     row = np.arange(j_blocks * be)
     for t in range(n_tiles):
-        w0 = int(starts[t]) * be
-        rows = row + w0
+        rows = row + int(starts[t]) * be
         valid = (rows >= tile_first[t]) & (rows < tile_last[t]) & (rows < e)
         rv = rows[valid]
         local[t, valid] = (seg_s[rv] - t * tile).astype(np.int32)
-    # pad the sorted data array reach: kernel reads up to
-    # (max(starts)+j_blocks)*be rows — build the required padded length
-    pad_rows = int(starts.max() if n_tiles else 0) * be + j_blocks * be
-    return SegmentTilePlan(
-        perm=perm, starts=starts, local=local,
-        num_segments=num_segments, n_tiles=n_tiles, j_blocks=j_blocks,
-    ), max(pad_rows, e)
+    pad_rows = (int(starts.max()) if n_tiles and e else 0) * be + \
+        j_blocks * be
+    cfg = SegPlanCfg(num_segments=num_segments, n_tiles=n_tiles,
+                     j_blocks=j_blocks, e_pad=max(pad_rows, e),
+                     interpret=interpret,
+                     identity_perm=bool(np.array_equal(
+                         perm, np.arange(e, dtype=np.int32))))
+    return SegmentTilePlan(cfg=cfg, perm=perm, starts=starts,
+                           local=local.reshape(n_tiles, j_blocks, be))
 
 
 def _sorted_kernel(starts_ref, local_ref, *refs, j_blocks: int, tile: int):
@@ -128,19 +123,24 @@ def _sorted_kernel(starts_ref, local_ref, *refs, j_blocks: int, tile: int):
             l[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
         ).astype(jnp.float32)
+        # HIGHEST: a gather/scatter must move data bit-faithfully — the
+        # default MXU pass would round the data operand to bf16 (measured
+        # max-abs-err 0.04 at box scale); exact-f32 passes cost 6x the MXU
+        # FLOPs but the op stays far from FLOP-bound.
         acc += jax.lax.dot_general(
             onehot, d, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
-def _sorted_segsum_raw(data_sorted, plan: SegmentTilePlan, interpret=False):
+def _sorted_segsum_raw(data_sorted, starts, local, cfg: SegPlanCfg):
     e_pad, d = data_sorted.shape
-    J = plan.j_blocks
+    J = cfg.j_blocks
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(plan.n_tiles,),
+        grid=(cfg.n_tiles,),
         in_specs=[
             pl.BlockSpec((1, J, BE), lambda t, starts: (t, 0, 0)),
         ] + [
@@ -156,46 +156,79 @@ def _sorted_segsum_raw(data_sorted, plan: SegmentTilePlan, interpret=False):
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.n_tiles * TILE, d),
+        out_shape=jax.ShapeDtypeStruct((cfg.n_tiles * TILE, d),
                                        data_sorted.dtype),
-        interpret=interpret or _is_cpu(),
-    )(jnp.asarray(plan.starts),
-      jnp.asarray(plan.local).reshape(plan.n_tiles, J, BE),
-      *([data_sorted] * J))
-    return out[: plan.num_segments]
+        interpret=cfg.interpret or _is_cpu(),
+    )(starts, local, *([data_sorted] * J))
+    return out[: cfg.num_segments]
 
 
-def make_sorted_segment_sum(plan: SegmentTilePlan, segment_ids, e_pad: int,
-                            mask=None, interpret: bool = False):
-    """Returns segsum(data) -> [num_segments, D] for a FIXED plan.
+def _f0(x):
+    """float0 cotangent for an integer/bool primal (custom_vjp contract)."""
+    return np.zeros(x.shape, jax.dtypes.float0)
 
-    Forward: permute rows to sorted order (one XLA permutation gather — a
-    streaming copy, no atomics), pad to the window reach, then the tiled
-    Pallas kernel.  Backward: d_data = d_out[segment_ids] * mask — a plain
-    gather, no scatter anywhere in either direction.
-    """
-    perm = jnp.asarray(plan.perm)
-    seg = jnp.asarray(segment_ids)
-    msk = None if mask is None else jnp.asarray(mask)
 
-    @jax.custom_vjp
-    def segsum(data):
-        ds = data[perm]
-        if e_pad > ds.shape[0]:
-            ds = jnp.pad(ds, ((0, e_pad - ds.shape[0]), (0, 0)))
-        return _sorted_segsum_raw(ds, plan, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def sorted_segment_sum(data, perm, starts, local, seg, mask, cfg):
+    """Masked segment-sum of ``data`` [E, D] -> [num_segments, D] via the
+    tiled sorted kernel.  ``perm/starts/local`` come from
+    ``build_segment_tile_plan`` (pass ``jnp.asarray(plan.x)`` through your
+    jit boundary); ``seg/mask`` are the ORIGINAL ids/mask (used only by the
+    backward gather).  ``mask`` may be None when the plan was built without
+    one."""
+    ds = data if cfg.identity_perm else data[perm]
+    if cfg.e_pad > ds.shape[0]:
+        ds = jnp.pad(ds, ((0, cfg.e_pad - ds.shape[0]), (0, 0)))
+    return _sorted_segsum_raw(ds, starts, local, cfg)
 
-    def fwd(data):
-        return segsum(data), None
 
-    def bwd(_, g):
-        d = g[seg]
-        if msk is not None:
-            d = jnp.where(msk[:, None], d, 0)
-        return (d,)
+def _ssum_fwd(data, perm, starts, local, seg, mask, cfg):
+    out = sorted_segment_sum(data, perm, starts, local, seg, mask, cfg)
+    return out, (perm, starts, local, seg, mask)
 
-    segsum.defvjp(fwd, bwd)
-    return segsum
+
+def _ssum_bwd(cfg, res, g):
+    perm, starts, local, seg, mask = res
+    d = g[seg]
+    if mask is not None:
+        d = jnp.where(mask[:, None], d, 0)
+    return (d, _f0(perm), _f0(starts), _f0(local), _f0(seg),
+            None if mask is None else _f0(mask))
+
+
+sorted_segment_sum.defvjp(_ssum_fwd, _ssum_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def sorted_gather(h, idx, perm, starts, local, mask, cfg):
+    """``h[idx]`` whose BACKWARD runs the tiled sorted kernel instead of an
+    XLA scatter-add (the backward of a gather is a segment-sum of the
+    cotangent over ``idx``).  ``perm/starts/local/cfg`` = a tile plan built
+    for ``idx`` with num_segments = h.shape[0]."""
+    return h[idx]
+
+
+def _sg_fwd(h, idx, perm, starts, local, mask, cfg):
+    return h[idx], (idx, perm, starts, local, mask)
+
+
+def _sg_bwd(cfg, res, g):
+    idx, perm, starts, local, mask = res
+    if mask is not None:
+        g = jnp.where(mask[:, None], g, 0)
+    dh = sorted_segment_sum(g, perm, starts, local, idx, None, cfg)
+    return (dh, _f0(idx), _f0(perm), _f0(starts), _f0(local),
+            None if mask is None else _f0(mask))
+
+
+sorted_gather.defvjp(_sg_fwd, _sg_bwd)
+
+
+def plan_args(plan: SegmentTilePlan):
+    """The device-array arguments of ``sorted_segment_sum`` for this plan
+    (perm, starts, local) — convert once, pass through jit."""
+    return (jnp.asarray(plan.perm), jnp.asarray(plan.starts),
+            jnp.asarray(plan.local))
 
 
 def sorted_segment_sum_xla(data, segment_ids, num_segments, mask=None):
@@ -203,3 +236,18 @@ def sorted_segment_sum_xla(data, segment_ids, num_segments, mask=None):
     from .scatter import segment_sum
 
     return segment_sum(data, segment_ids, num_segments, mask=mask)
+
+
+def batch_seg_plans(batch, interpret: bool = False):
+    """Build the {'rcv', 'snd'} plan dict an EGNNLayer's box-scale path
+    consumes, from a padded GraphBatch (host-side, once per graph).  For a
+    receiver-sorted edge list the 'rcv' plan has an identity permutation
+    (no [E, D] permute in the forward reduce)."""
+    n = batch.atoms.shape[0]
+    em = np.asarray(batch.edge_mask)
+    out = {}
+    for key, idx in (("rcv", batch.receivers), ("snd", batch.senders)):
+        plan = build_segment_tile_plan(np.asarray(idx), n, mask=em,
+                                       interpret=interpret)
+        out[key] = plan_args(plan) + (plan.cfg,)
+    return out

@@ -41,6 +41,9 @@ import optax
 MODELS = {
     "schnet": dict(num_layers=4, hidden_channels=128, num_filters=128),
     "egnn": dict(num_layers=4, emb_dim=128),
+    # receiver-sorted edge list + tiled sorted-segment Pallas kernel for
+    # every gather-backward / segment reduction (ops/pallas_sorted_segsum)
+    "egnn_sorted": dict(num_layers=4, emb_dim=128),
     "egnn_fused": dict(num_layers=4, emb_dim=128),
     "mace_ff": dict(num_layers=2, emb_dim=64, max_ell=3, correlation=3,
                     edge_chunk=8192),
@@ -57,6 +60,7 @@ FALLBACKS = {
     "spherenet": dict(hidden_channels=64, int_emb_size=32,
                       triplet_chunk=65536),
     "egnn": dict(emb_dim=64),
+    "egnn_sorted": dict(emb_dim=64),
     "egnn_fused": dict(emb_dim=64),
     "mace_ff": dict(emb_dim=32, edge_chunk=16384),
     "tfn_ff": dict(emb_dim=32, edge_chunk=16384),
@@ -69,6 +73,8 @@ def build(name, cfg, avg_deg):
     from geometric_message_passing_tpu.models.egnn_fused import EGNNFusedModel
 
     cfg = dict(cfg)
+    if name == "egnn_sorted":
+        return model_registry["egnn"](out_dim=1, in_dim=8, **cfg)
     if name == "egnn_fused":
         return EGNNFusedModel(out_dim=1, in_dim=8, **cfg)
     if name == "mace_ff":
@@ -92,15 +98,30 @@ def bench_one(name, cfg, batch, steps, reps=3):
     variables = init_variables(model, seed_everything(0), batch)
     tx = optax.adam(1e-4)
     opt_state = tx.init(variables["params"])
+    # sorted-segment plans: cfgs stay static python; ARRAYS ride the carry
+    # (a closed-over device array becomes an HLO literal -> compile-helper
+    # HTTP 413 at these sizes)
+    plan_cfgs = None
+    plan_arrays = {}
+    if name == "egnn_sorted":
+        from geometric_message_passing_tpu.ops.pallas_sorted_segsum import (
+            batch_seg_plans)
+
+        plans = batch_seg_plans(batch)
+        plan_arrays = {k: tuple(v[:3]) for k, v in plans.items()}
+        plan_cfgs = {k: v[3] for k, v in plans.items()}
 
     def train_step(carry, _):
-        variables, opt_state = carry
+        variables, opt_state, pa = carry
+        kw = {}
+        if plan_cfgs is not None:
+            kw["seg_plans"] = {k: pa[k] + (plan_cfgs[k],) for k in pa}
 
         def loss_of(params):
             vs = {**variables, "params": params}
             out, mutated = model.apply(
                 vs, batch, train=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.PRNGKey(0)})
+                rngs={"dropout": jax.random.PRNGKey(0)}, **kw)
             return l1_sum_loss(out, batch), mutated
 
         (loss, mutated), grads = jax.value_and_grad(
@@ -109,21 +130,21 @@ def bench_one(name, cfg, batch, steps, reps=3):
                                        variables["params"])
         params = optax.apply_updates(variables["params"], updates)
         return ({**variables, "params": params, **mutated},
-                opt_state), loss
+                opt_state, pa), loss
 
     @jax.jit
-    def run(variables, opt_state):
-        (variables, opt_state), losses = jax.lax.scan(
-            train_step, (variables, opt_state), None, length=steps)
-        return variables, opt_state, losses[-1]
+    def run(variables, opt_state, pa):
+        (variables, opt_state, pa), losses = jax.lax.scan(
+            train_step, (variables, opt_state, pa), None, length=steps)
+        return variables, opt_state, pa, losses[-1]
 
-    v, o, l = run(variables, opt_state)
+    v, o, pa, l = run(variables, opt_state, plan_arrays)
     float(l)      # fetch: block_until_ready is unreliable on the tunnel
-    v, o, l = run(v, o)
+    v, o, pa, l = run(v, o, pa)
     float(l)      # absorb the one-time first-execution upload cost
     t0 = time.time()
     for _ in range(reps):
-        v, o, l = run(v, o)
+        v, o, pa, l = run(v, o, pa)
         float(l)  # fetch EVERY timed call
     dt = time.time() - t0
     sps = steps * reps / dt
@@ -169,6 +190,7 @@ def main():
         batch = next(iter(loader))
         tri_batch = None
         quad_batch = None
+        sorted_batch = None
         steps = args.steps or max(4, min(40, 1_500_000 // n_nodes))
         for name in args.models.split(","):
             cfg = MODELS[name]
@@ -180,7 +202,16 @@ def main():
                        if name in ("mace_ff", "tfn_ff", "dimenet",
                                    "spherenet") else steps)
             b = batch
-            if name == "dimenet":
+            if name == "egnn_sorted":
+                from geometric_message_passing_tpu.graph import (
+                    sort_edges_by_receiver)
+
+                if sorted_batch is None:
+                    sorted_batch = next(iter(GraphLoader(
+                        [sort_edges_by_receiver(g) for g in graphs],
+                        batch_size=1)))
+                b = sorted_batch
+            elif name == "dimenet":
                 if tri_batch is None:
                     tri_loader = GraphLoader(graphs, batch_size=1,
                                              with_triplets=True)

@@ -2,7 +2,9 @@
 molecular-box scale — fwd AND fwd+bwd (round-4 VERDICT item 5).
 
 Protocol per CLAUDE.md: fetched results, unique scalar arg per call,
-sum-of-squares reduction, two warmups, scan over steps.
+sum-of-squares reduction, two warmups, scan over steps.  All big arrays are
+ARGUMENTS of the jitted runner (a closed-over device array becomes an HLO
+literal and kills the remote compile helper — observed HTTP 413).
 
 Usage: python scripts/trial_sorted_segsum.py [--nodes 10000,30000,100000]
 """
@@ -22,21 +24,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, steps=5, reps=3):
+def timed(fn, *args, steps=5, reps=3):
     @jax.jit
-    def run(c0):
+    def run(c0, *a):
         def body(c, i):
-            return fn(c, i), None
+            return fn(c, i, *a), None
 
         c, _ = jax.lax.scan(body, c0, jnp.arange(steps))
         return c
 
     for _ in range(2):
-        float(run(jnp.float32(0.0)))
+        float(run(jnp.float32(0.0), *args))
     ts = []
     for r in range(reps):
         t0 = time.time()
-        float(run(jnp.float32(r + 1)))
+        float(run(jnp.float32(r + 1), *args))
         ts.append((time.time() - t0) / steps)
     return float(np.median(ts)) * 1000.0
 
@@ -50,7 +52,7 @@ def main():
     from geometric_message_passing_tpu import datasets as ds
     from geometric_message_passing_tpu.graph import GraphLoader
     from geometric_message_passing_tpu.ops.pallas_sorted_segsum import (
-        build_segment_tile_plan, make_sorted_segment_sum)
+        build_segment_tile_plan, plan_args, sorted_segment_sum)
     from geometric_message_passing_tpu.ops.scatter import segment_sum
 
     for n_nodes in [int(s) for s in args.nodes.split(",")]:
@@ -64,43 +66,49 @@ def main():
         e = rcv.shape[0]
         rng = np.random.default_rng(0)
         data = jnp.asarray(rng.standard_normal((e, args.d)).astype(np.float32))
-        plan, e_pad = build_segment_tile_plan(rcv, n, mask=em)
-        f_pallas = make_sorted_segment_sum(plan, rcv, e_pad, mask=em)
-        rcv_j = jnp.asarray(rcv)
-        em_j = jnp.asarray(em)
+        plan = build_segment_tile_plan(rcv, n, mask=em)
+        perm, starts, local = plan_args(plan)
+        rcv_j, em_j = jnp.asarray(rcv), jnp.asarray(em)
+        cfg = plan.cfg
+
+        def f_pallas(x, pm, st, lc, rv, ms):
+            return sorted_segment_sum(x, pm, st, lc, rv, ms, cfg)
 
         # correctness on-chip first
-        out_p = np.asarray(f_pallas(data))
+        out_p = np.asarray(jax.jit(f_pallas)(data, perm, starts, local,
+                                             rcv_j, em_j))
         out_x = np.asarray(segment_sum(data, rcv_j, n, mask=em_j))
         err = float(np.max(np.abs(out_p - out_x)))
 
-        def xla_fwd(c, i):
-            o = segment_sum(data * (1 + 0 * (c + i)), rcv_j, n, mask=em_j)
+        def xla_fwd(c, i, x, rv, ms):
+            o = segment_sum(x * (1 + 0 * (c + i)), rv, n, mask=ms)
             return c + jnp.sum(o * o) * 1e-12
 
-        def pallas_fwd(c, i):
-            o = f_pallas(data * (1 + 0 * (c + i)))
+        def pallas_fwd(c, i, x, pm, st, lc, rv, ms):
+            o = f_pallas(x * (1 + 0 * (c + i)), pm, st, lc, rv, ms)
             return c + jnp.sum(o * o) * 1e-12
 
-        def xla_fb(c, i):
+        def xla_fb(c, i, x, rv, ms):
             v, g = jax.value_and_grad(
-                lambda x: jnp.sum(segment_sum(x, rcv_j, n, mask=em_j) ** 2)
-            )(data * (1 + 0 * (c + i)))
+                lambda x_: jnp.sum(segment_sum(x_, rv, n, mask=ms) ** 2)
+            )(x * (1 + 0 * (c + i)))
             return c + v * 1e-12 + jnp.sum(g[0] ** 2) * 1e-12
 
-        def pallas_fb(c, i):
+        def pallas_fb(c, i, x, pm, st, lc, rv, ms):
             v, g = jax.value_and_grad(
-                lambda x: jnp.sum(f_pallas(x) ** 2)
-            )(data * (1 + 0 * (c + i)))
+                lambda x_: jnp.sum(f_pallas(x_, pm, st, lc, rv, ms) ** 2)
+            )(x * (1 + 0 * (c + i)))
             return c + v * 1e-12 + jnp.sum(g[0] ** 2) * 1e-12
 
         row = {
             "nodes": n, "edges": int(em.sum()), "d": args.d,
-            "j_blocks": plan.j_blocks, "max_abs_err": err,
-            "xla_fwd_ms": round(timed(xla_fwd), 2),
-            "pallas_fwd_ms": round(timed(pallas_fwd), 2),
-            "xla_fwdbwd_ms": round(timed(xla_fb), 2),
-            "pallas_fwdbwd_ms": round(timed(pallas_fb), 2),
+            "j_blocks": cfg.j_blocks, "max_abs_err": err,
+            "xla_fwd_ms": round(timed(xla_fwd, data, rcv_j, em_j), 2),
+            "pallas_fwd_ms": round(
+                timed(pallas_fwd, data, perm, starts, local, rcv_j, em_j), 2),
+            "xla_fwdbwd_ms": round(timed(xla_fb, data, rcv_j, em_j), 2),
+            "pallas_fwdbwd_ms": round(
+                timed(pallas_fb, data, perm, starts, local, rcv_j, em_j), 2),
             "device": str(jax.devices()[0]),
         }
         print(json.dumps(row))

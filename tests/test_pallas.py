@@ -462,39 +462,76 @@ class TestSortedSegmentSum:
     @pytest.mark.parametrize("e,n", [(3000, 700), (5000, 128), (2000, 50)])
     def test_matches_xla_fwd_and_grad(self, e, n, sort_input):
         from geometric_message_passing_tpu.ops.pallas_sorted_segsum import (
-            build_segment_tile_plan, make_sorted_segment_sum,
+            build_segment_tile_plan, plan_args, sorted_segment_sum,
             sorted_segment_sum_xla)
 
         data, seg, mask = self._case(e, n, sort_input=sort_input)
-        plan, e_pad = build_segment_tile_plan(seg, n, mask=mask)
-        f = make_sorted_segment_sum(plan, seg, e_pad, mask=mask,
-                                    interpret=True)
+        plan = build_segment_tile_plan(seg, n, mask=mask, interpret=True)
+        perm, starts, local = plan_args(plan)
+        seg_j, mask_j = jnp.asarray(seg), jnp.asarray(mask)
         x = jnp.asarray(data)
+
+        @jax.jit
+        def f(x_):
+            return sorted_segment_sum(x_, perm, starts, local, seg_j,
+                                      mask_j, plan.cfg)
+
         out = f(x)
-        ref = sorted_segment_sum_xla(x, jnp.asarray(seg), n,
-                                     mask=jnp.asarray(mask))
+        ref = sorted_segment_sum_xla(x, seg_j, n, mask=mask_j)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
-        # grads: d/dx sum(segsum(x)^2) must match the XLA twin's
         g1 = jax.grad(lambda x_: jnp.sum(f(x_) ** 2))(x)
         g2 = jax.grad(lambda x_: jnp.sum(
-            sorted_segment_sum_xla(x_, jnp.asarray(seg), n,
-                                   mask=jnp.asarray(mask)) ** 2))(x)
+            sorted_segment_sum_xla(x_, seg_j, n, mask=mask_j) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-5, atol=1e-5)
 
     def test_all_masked_and_empty_segments(self):
         from geometric_message_passing_tpu.ops.pallas_sorted_segsum import (
-            build_segment_tile_plan, make_sorted_segment_sum)
+            build_segment_tile_plan, plan_args, sorted_segment_sum)
 
         e, n = 1500, 300
         rng = np.random.default_rng(3)
-        seg = rng.integers(0, 40, e).astype(np.int32)  # segments 40..299 empty
+        seg = rng.integers(0, 40, e).astype(np.int32)  # segments 40+ empty
         data = rng.standard_normal((e, 32)).astype(np.float32)
         mask = np.zeros(e, bool)
-        plan, e_pad = build_segment_tile_plan(seg, n, mask=mask)
-        f = make_sorted_segment_sum(plan, seg, e_pad, mask=mask,
-                                    interpret=True)
-        out = np.asarray(f(jnp.asarray(data)))
+        plan = build_segment_tile_plan(seg, n, mask=mask, interpret=True)
+        perm, starts, local = plan_args(plan)
+        out = np.asarray(sorted_segment_sum(
+            jnp.asarray(data), perm, starts, local, jnp.asarray(seg),
+            jnp.asarray(mask), plan.cfg))
         assert out.shape == (n, 32)
         np.testing.assert_array_equal(out, np.zeros_like(out))
+
+    def test_egnn_seg_plans_path_matches_default(self):
+        """EGNNModel with the sorted-segment plan path must reproduce the
+        plain XLA path (fwd + grads) on a padded multi-graph batch."""
+        from geometric_message_passing_tpu import datasets as ds
+        from geometric_message_passing_tpu.graph import (
+            GraphLoader, sort_edges_by_receiver)
+        from geometric_message_passing_tpu.models.egnn import EGNNModel
+        from geometric_message_passing_tpu.ops.pallas_sorted_segsum import (
+            batch_seg_plans)
+
+        graphs = [sort_edges_by_receiver(g) for g in ds.create_star_graphs(
+            num=6, fold=[3, 5], dim=3, target="max", seed=0)]
+        batch = next(iter(GraphLoader(graphs, batch_size=6)))
+        model = EGNNModel(num_layers=2, emb_dim=32, in_dim=1, out_dim=1)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        plans = batch_seg_plans(batch, interpret=True)
+        out_ref = model.apply(variables, batch)
+        out_pl = model.apply(variables, batch, seg_plans=plans)
+        np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss(params, plans_):
+            out = model.apply({**variables, "params": params}, batch,
+                              seg_plans=plans_)
+            return jnp.sum(out ** 2)
+
+        g_ref = jax.grad(loss)(variables["params"], None)
+        g_pl = jax.grad(loss)(variables["params"], plans)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+            g_ref, g_pl)
