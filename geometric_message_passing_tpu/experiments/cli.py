@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", type=str, default=None)
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--nan_recovery", action="store_true")
+    # opt-in global-norm gradient clipping (measured mitigation for the
+    # egnn/paired_star divergence mode — RESULTS.md round 4)
+    p.add_argument("--grad_clip", type=float, default=None)
     # precision knob: bf16 storage/compute for the per-edge TP weight giant
     # (tfn/mace only); measured speed/quality tradeoff in RESULTS.md
     p.add_argument("--bf16_tp_weights", action=argparse.BooleanOptionalAction,
@@ -70,8 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["model", "default", "highest"])
     # MACE only: which stages get tp_precision ('all' = conv TP + product
     # basis; 'conv' / 'prod' = that stage only) — round-4 scoping ablation
-    p.add_argument("--tp_precision_scope", type=str, default="all",
-                   choices=["all", "conv", "prod", "heads"])
+    p.add_argument("--tp_precision_scope", type=str, default="model",
+                   choices=["model", "all", "conv", "prod", "heads"])
     return p
 
 
@@ -132,12 +135,18 @@ def make_model_func(args):
         return partial(base, max_ell=args.max_ell, correlation=args.max_corr,
                        equivariant_pred=args.equivariant, pool=args.pool,
                        weights_bf16=args.bf16_tp_weights,
-                       tp_precision_scope=args.tp_precision_scope, **prec)
+                       **({"tp_precision_scope": args.tp_precision_scope}
+                          if args.tp_precision_scope != "model" else {}),
+                       **prec)
     return partial(base, equivariant_pred=args.equivariant, pool=args.pool)
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.grad_clip:
+        from . import train as _train
+
+        _train.GRAD_CLIP = args.grad_clip
     if args.matmul_precision:
         import jax
 
