@@ -112,7 +112,11 @@ def bench_one(name, cfg, batch, steps, reps=3):
         plan_cfgs = {k: v[3] for k, v in plans.items()}
 
     def train_step(carry, _):
-        variables, opt_state, pa = carry
+        # NOTE: the batch rides the carry — a closed-over device array is
+        # inlined into the compile request as a literal, and dimenet@100k's
+        # ~18M-triplet index arrays overflow the remote compile helper
+        # (HTTP 413, observed round 4)
+        variables, opt_state, pa, batch = carry
         kw = {}
         if plan_cfgs is not None:
             kw["seg_plans"] = {k: pa[k] + (plan_cfgs[k],) for k in pa}
@@ -130,21 +134,22 @@ def bench_one(name, cfg, batch, steps, reps=3):
                                        variables["params"])
         params = optax.apply_updates(variables["params"], updates)
         return ({**variables, "params": params, **mutated},
-                opt_state, pa), loss
+                opt_state, pa, batch), loss
 
     @jax.jit
-    def run(variables, opt_state, pa):
-        (variables, opt_state, pa), losses = jax.lax.scan(
-            train_step, (variables, opt_state, pa), None, length=steps)
+    def run(variables, opt_state, pa, batch):
+        (variables, opt_state, pa, batch), losses = jax.lax.scan(
+            train_step, (variables, opt_state, pa, batch), None,
+            length=steps)
         return variables, opt_state, pa, losses[-1]
 
-    v, o, pa, l = run(variables, opt_state, plan_arrays)
+    v, o, pa, l = run(variables, opt_state, plan_arrays, batch)
     float(l)      # fetch: block_until_ready is unreliable on the tunnel
-    v, o, pa, l = run(v, o, pa)
+    v, o, pa, l = run(v, o, pa, batch)
     float(l)      # absorb the one-time first-execution upload cost
     t0 = time.time()
     for _ in range(reps):
-        v, o, pa, l = run(v, o, pa)
+        v, o, pa, l = run(v, o, pa, batch)
         float(l)  # fetch EVERY timed call
     dt = time.time() - t0
     sps = steps * reps / dt
