@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     # opt-in global-norm gradient clipping (measured mitigation for the
     # egnn/paired_star divergence mode — RESULTS.md round 4)
     p.add_argument("--grad_clip", type=float, default=None)
+    p.add_argument("--lr_warmup", type=int, default=None,
+                   help="linear LR warmup over the first N epochs (opt-in)")
     # precision knob: bf16 storage/compute for the per-edge TP weight giant
     # (tfn/mace only); measured speed/quality tradeoff in RESULTS.md
     p.add_argument("--bf16_tp_weights", action=argparse.BooleanOptionalAction,
@@ -143,10 +145,11 @@ def make_model_func(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.grad_clip:
+    if args.grad_clip or args.lr_warmup:
         from . import train as _train
 
         _train.GRAD_CLIP = args.grad_clip
+        _train.LR_WARMUP = args.lr_warmup
     if args.matmul_precision:
         import jax
 

@@ -159,6 +159,18 @@ def plateau_update(state, metric, cfg: PlateauConfig):
 # reference-protocol optimizer).
 GRAD_CLIP = None
 
+# Opt-in linear LR warmup over the first N epochs (same weak-2 mitigation
+# family; composes with cosine/plateau).  None = off.
+LR_WARMUP = None
+
+
+def _warmup_scale(epoch_idx):
+    import jax.numpy as _jnp
+
+    if not LR_WARMUP:
+        return 1.0
+    return _jnp.minimum(1.0, (epoch_idx + 1.0) / LR_WARMUP)
+
 
 def make_tx(lr=1e-4):
     """The experiment optimizer: adam, optionally preceded by global-norm
@@ -273,6 +285,7 @@ def _build_run(model, n_epochs: int, task: str, cosine: bool,
                 lr_now = cosine_lr(lr, 1e-6, n_epochs, epoch_idx)
             else:
                 lr_now = sched_state["lr"]
+            lr_now = lr_now * _warmup_scale(epoch_idx)
             (variables, opt_state, rng, _), losses = jax.lax.scan(
                 train_step, (variables, opt_state, rng, lr_now), epoch_batches
             )
@@ -393,6 +406,7 @@ def _build_run_resident(model, n_epochs: int, task: str, cosine: bool,
                 lr_now = cosine_lr(lr, 1e-6, n_epochs, epoch_idx)
             else:
                 lr_now = sched_state["lr"]
+            lr_now = lr_now * _warmup_scale(epoch_idx)
             perm = jax.random.permutation(
                 jax.random.fold_in(shuffle_key, epoch_idx), m
             ).astype(jnp.int32)
@@ -562,7 +576,7 @@ def fit_stepwise(
     val_plan = jnp.asarray(eval_slot_indices(slot_val.num_graphs, b))
     test_plan = jnp.asarray(eval_slot_indices(slot_test.num_graphs, b))
 
-    key = (model, n_epochs, task, cosine, mask_cols, steps, b, "stepwise", GRAD_CLIP,
+    key = (model, n_epochs, task, cosine, mask_cols, steps, b, "stepwise", GRAD_CLIP, LR_WARMUP,
            _tree_key(slot_train), _tree_key(slot_val), _tree_key(slot_test))
     progs = _RUN_CACHE.get(key)
     if progs is None:
@@ -770,7 +784,7 @@ def fit_resident(
         return length
 
     def run_of(length):
-        key = (model, n_epochs, task, cosine, plateau, mask_cols, steps, b, GRAD_CLIP,
+        key = (model, n_epochs, task, cosine, plateau, mask_cols, steps, b, GRAD_CLIP, LR_WARMUP,
                "resident", length, _tree_key(slot_train),
                _tree_key(slot_val), _tree_key(slot_test))
         run = _RUN_CACHE.get(key)
@@ -908,7 +922,7 @@ def fit(
     """Run the full experiment as a single jit-compiled program.  The traced
     program is cached on (model, config, data shapes): repeats with new
     seeds/lr/data reuse both the trace and the XLA executable."""
-    key = (model, n_epochs, task, cosine, plateau, mask_cols, GRAD_CLIP,
+    key = (model, n_epochs, task, cosine, plateau, mask_cols, GRAD_CLIP, LR_WARMUP,
            _tree_key(train_epochs), _tree_key(val_set), _tree_key(test_set))
     run = _RUN_CACHE.get(key)
     if run is None:

@@ -207,6 +207,10 @@ def main():
                        if name in ("mace_ff", "tfn_ff", "dimenet",
                                    "spherenet") else steps)
             b = batch
+            if name == "dimenet" and n_nodes >= 50000:
+                # the 4-block per-edge residual chain is ~150 live [E,128]
+                # activations without remat — past HBM at 1.35M edges
+                cfg = {**cfg, "remat_blocks": True}
             if name == "egnn_sorted":
                 from geometric_message_passing_tpu.graph import (
                     sort_edges_by_receiver)
