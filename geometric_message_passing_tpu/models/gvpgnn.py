@@ -43,6 +43,12 @@ class GVPConv(nn.Module):
     act_v: str = "sigmoid"
     vector_gate: bool = True
     use_pallas: bool = False
+    # Rematerialize the edge chain in the backward pass (round 4): at
+    # molecular-box scale the 3-GVP chain's live [E, ~176] activations
+    # total 15.3 GB at 398k edges (XLA memory_analysis) — at the v5e HBM
+    # edge, where the remote compile reproducibly dies.  Numerics
+    # identical; costs one extra forward of the chain in bwd.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask):
@@ -85,9 +91,18 @@ class GVPConv(nn.Module):
             out = fused(senders, receivers, edge_mask, s, vx, vy, vz,
                         es, evx, evy, evz, *ws)
         else:
-            out = gvp_message_xla(senders, receivers, edge_mask, s,
-                                  vx, vy, vz, es, evx, evy, evz, ws,
-                                  self.n_layers)
+            f = gvp_message_xla
+            if self.remat:
+                import functools as _ft
+
+                f = jax.checkpoint(
+                    _ft.partial(gvp_message_xla, n_layers=self.n_layers))
+                out = f(senders, receivers, edge_mask, s,
+                        vx, vy, vz, es, evx, evy, evz, ws)
+            else:
+                out = gvp_message_xla(senders, receivers, edge_mask, s,
+                                      vx, vy, vz, es, evx, evy, evz, ws,
+                                      self.n_layers)
         ssum, sx, sy, sz, cnt = out
         if self.aggr == "mean":
             cnt = jnp.maximum(cnt, 1.0)
@@ -137,6 +152,7 @@ class GVPConvLayer(nn.Module):
     vector_gate: bool = True
     residual: bool = True
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask,
@@ -152,6 +168,7 @@ class GVPConvLayer(nn.Module):
             aggr="add" if autoregressive_x is not None else "mean",
             act_s=self.act_s, act_v=self.act_v,
             vector_gate=self.vector_gate, use_pallas=self.use_pallas,
+            remat=self.remat,
             name="conv",
         )
         if autoregressive_x is not None:
@@ -219,6 +236,7 @@ class GVPGNNModel(nn.Module):
     residual: bool = True
     equivariant_pred: bool = False
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -251,7 +269,8 @@ class GVPGNNModel(nn.Module):
         for i in range(self.num_layers):
             h_V = GVPConvLayer(
                 node_dims, edge_dims, residual=self.residual,
-                use_pallas=self.use_pallas, name=f"layer_{i}",
+                use_pallas=self.use_pallas, remat=self.remat,
+                name=f"layer_{i}",
             )(h_V, batch.senders, batch.receivers, h_E, batch.edge_mask, train)
 
         out = POOL[self.pool](gvp.merge(*h_V), batch)

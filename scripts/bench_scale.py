@@ -207,6 +207,10 @@ def main():
                        if name in ("mace_ff", "tfn_ff", "dimenet",
                                    "spherenet") else steps)
             b = batch
+            if name == "gvp" and n_nodes >= 30000:
+                # full-width GVP at >=398k edges sits at the HBM edge
+                # (15.3 GB live chain activations); remat clears it
+                cfg = {**cfg, "remat": True}
             if name == "dimenet" and n_nodes >= 50000:
                 # the 4-block per-edge residual chain is ~150 live [E,128]
                 # activations without remat — past HBM at 1.35M edges
