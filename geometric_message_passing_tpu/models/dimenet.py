@@ -233,17 +233,29 @@ class OutputPPBlock(nn.Module):
     out_emb_channels: int
     out_dim: int
     num_output_layers: int
+    # backward-pass remat (round 4): the int num_nodes arg rides a CLOSURE
+    # (static by value) so the lifted transform never traces it
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, rbf, receivers, num_nodes, edge_mask):
         go = glorot_orthogonal
-        x = nn.Dense(self.hidden, use_bias=False, kernel_init=go())(rbf) * x
-        x = segment_sum(x, receivers, num_nodes, mask=edge_mask)
-        x = nn.Dense(self.out_emb_channels, use_bias=False, kernel_init=go())(x)
-        for _ in range(self.num_output_layers):
-            x = swish(nn.Dense(self.out_emb_channels, kernel_init=go())(x))
-        return nn.Dense(self.out_dim, use_bias=False,
-                        kernel_init=nn.initializers.zeros)(x)
+
+        def inner(mdl, x, rbf, receivers, edge_mask):
+            x = nn.Dense(mdl.hidden, use_bias=False,
+                         kernel_init=go())(rbf) * x
+            x = segment_sum(x, receivers, num_nodes, mask=edge_mask)
+            x = nn.Dense(mdl.out_emb_channels, use_bias=False,
+                         kernel_init=go())(x)
+            for _ in range(mdl.num_output_layers):
+                x = swish(nn.Dense(mdl.out_emb_channels,
+                                   kernel_init=go())(x))
+            return nn.Dense(mdl.out_dim, use_bias=False,
+                            kernel_init=nn.initializers.zeros)(x)
+
+        if self.remat:
+            inner = nn.remat(inner, prevent_cse=False)
+        return inner(self, x, rbf, receivers, edge_mask)
 
 
 class DimeNetPPModel(nn.Module):
@@ -330,7 +342,7 @@ class DimeNetPPModel(nn.Module):
         )
         P = Out(
             self.hidden_channels, self.out_emb_channels, self.out_dim,
-            self.num_output_layers, name="output_0",
+            self.num_output_layers, remat=self.remat_blocks, name="output_0",
         )(x, rbf, i, batch.num_nodes, batch.edge_mask)
 
         for blk in range(self.num_layers):
@@ -344,7 +356,8 @@ class DimeNetPPModel(nn.Module):
               basis_ctx=basis_ctx)
             P = P + Out(
                 self.hidden_channels, self.out_emb_channels, self.out_dim,
-                self.num_output_layers, name=f"output_{blk + 1}",
+                self.num_output_layers, remat=self.remat_blocks,
+                name=f"output_{blk + 1}",
             )(x, rbf, i, batch.num_nodes, batch.edge_mask)
 
         return POOL[self.pool](P, batch)
