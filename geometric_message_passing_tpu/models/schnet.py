@@ -34,7 +34,8 @@ class SchNetInteraction(nn.Module):
     cutoff: float
 
     @nn.compact
-    def __call__(self, h, senders, receivers, edge_weight, edge_attr, edge_mask):
+    def __call__(self, h, senders, receivers, edge_weight, edge_attr,
+                 edge_mask, seg_plans=None):
         # PyG InteractionBlock/CFConv.reset_parameters: xavier_uniform on
         # every Linear, zero biases (the flax default)
         xavier = nn.initializers.xavier_uniform()
@@ -46,8 +47,22 @@ class SchNetInteraction(nn.Module):
         C = C * (edge_weight < self.cutoff)
         W = W * C[:, None]
         x = nn.Dense(self.num_filters, use_bias=False, kernel_init=xavier)(h)
-        msg = x[senders] * W
-        x = segment_sum(msg, receivers, num_nodes, mask=edge_mask)
+        if seg_plans is not None:
+            # box-scale path (receiver-sorted edges): gather backward and
+            # the segment reduction run the tiled sorted-segment Pallas
+            # kernel (ops/pallas_sorted_segsum) — same recipe as EGNNLayer
+            from ..ops.pallas_sorted_segsum import (sorted_gather,
+                                                    sorted_segment_sum)
+
+            (r_perm, r_starts, r_local, r_cfg) = seg_plans["rcv"]
+            (s_perm, s_starts, s_local, s_cfg) = seg_plans["snd"]
+            msg = sorted_gather(x, senders, s_perm, s_starts, s_local,
+                                edge_mask, s_cfg) * W
+            x = sorted_segment_sum(msg, r_perm, r_starts, r_local,
+                                   receivers, edge_mask, r_cfg)
+        else:
+            msg = x[senders] * W
+            x = segment_sum(msg, receivers, num_nodes, mask=edge_mask)
         x = nn.Dense(self.hidden_channels, kernel_init=xavier)(x)
         x = shifted_softplus(x)
         return nn.Dense(self.hidden_channels, kernel_init=xavier)(x)
@@ -67,7 +82,10 @@ class SchNetModel(nn.Module):
     pool: str = "sum"
 
     @nn.compact
-    def __call__(self, batch: GraphBatch, train: bool = False):
+    def __call__(self, batch: GraphBatch, train: bool = False,
+                 seg_plans=None):
+        """``seg_plans``: optional sorted segment-tile plans (see
+        EGNNModel) — the molecular-box fast path."""
         h = nn.Embed(100, self.hidden_channels,
                      embedding_init=nn.initializers.normal(1.0),  # torch Embedding default
                      name="embedding")(batch.atoms)
@@ -81,7 +99,7 @@ class SchNetModel(nn.Module):
                 self.hidden_channels, self.num_filters, self.cutoff,
                 name=f"interaction_{i}",
             )(h, batch.senders, batch.receivers, edge_weight, edge_attr,
-              batch.edge_mask)
+              batch.edge_mask, seg_plans=seg_plans)
         out = POOL[self.pool](h, batch)
         # PyG SchNet.reset_parameters: xavier_uniform + zero bias on lin1/lin2
         xavier = nn.initializers.xavier_uniform()

@@ -44,6 +44,8 @@ MODELS = {
     # receiver-sorted edge list + tiled sorted-segment Pallas kernel for
     # every gather-backward / segment reduction (ops/pallas_sorted_segsum)
     "egnn_sorted": dict(num_layers=4, emb_dim=128),
+    "schnet_sorted": dict(num_layers=4, hidden_channels=128,
+                          num_filters=128),
     "egnn_fused": dict(num_layers=4, emb_dim=128),
     "mace_ff": dict(num_layers=2, emb_dim=64, max_ell=3, correlation=3,
                     edge_chunk=8192),
@@ -61,6 +63,7 @@ FALLBACKS = {
                       triplet_chunk=65536),
     "egnn": dict(emb_dim=64),
     "egnn_sorted": dict(emb_dim=64),
+    "schnet_sorted": dict(hidden_channels=64, num_filters=64),
     "egnn_fused": dict(emb_dim=64),
     "mace_ff": dict(emb_dim=32, edge_chunk=16384),
     "tfn_ff": dict(emb_dim=32, edge_chunk=16384),
@@ -75,6 +78,8 @@ def build(name, cfg, avg_deg):
     cfg = dict(cfg)
     if name == "egnn_sorted":
         return model_registry["egnn"](out_dim=1, in_dim=8, **cfg)
+    if name == "schnet_sorted":
+        return model_registry["schnet"](out_dim=1, in_dim=8, **cfg)
     if name == "egnn_fused":
         return EGNNFusedModel(out_dim=1, in_dim=8, **cfg)
     if name == "mace_ff":
@@ -103,7 +108,7 @@ def bench_one(name, cfg, batch, steps, reps=3):
     # HTTP 413 at these sizes)
     plan_cfgs = None
     plan_arrays = {}
-    if name == "egnn_sorted":
+    if name in ("egnn_sorted", "schnet_sorted"):
         from geometric_message_passing_tpu.ops.pallas_sorted_segsum import (
             batch_seg_plans)
 
@@ -215,7 +220,7 @@ def main():
                 # the 4-block per-edge residual chain is ~150 live [E,128]
                 # activations without remat — past HBM at 1.35M edges
                 cfg = {**cfg, "remat_blocks": True}
-            if name == "egnn_sorted":
+            if name in ("egnn_sorted", "schnet_sorted"):
                 from geometric_message_passing_tpu.graph import (
                     sort_edges_by_receiver)
 

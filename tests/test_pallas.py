@@ -535,3 +535,35 @@ class TestSortedSegmentSum:
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
             g_ref, g_pl)
+
+    def test_schnet_seg_plans_path_matches_default(self):
+        from geometric_message_passing_tpu import datasets as ds
+        from geometric_message_passing_tpu.graph import (
+            GraphLoader, sort_edges_by_receiver)
+        from geometric_message_passing_tpu.models import model_registry
+        from geometric_message_passing_tpu.ops.pallas_sorted_segsum import (
+            batch_seg_plans)
+
+        graphs = [sort_edges_by_receiver(g) for g in ds.create_star_graphs(
+            num=6, fold=[3, 5], dim=3, target="max", seed=0)]
+        batch = next(iter(GraphLoader(graphs, batch_size=6)))
+        model = model_registry["schnet"](num_layers=2, hidden_channels=32,
+                                         num_filters=32, in_dim=1, out_dim=1)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        plans = batch_seg_plans(batch, interpret=True)
+        out_ref = model.apply(variables, batch)
+        out_pl = model.apply(variables, batch, seg_plans=plans)
+        np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss(params, plans_):
+            out = model.apply({**variables, "params": params}, batch,
+                              seg_plans=plans_)
+            return jnp.sum(out ** 2)
+
+        g_ref = jax.grad(loss)(variables["params"], None)
+        g_pl = jax.grad(loss)(variables["params"], plans)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+            g_ref, g_pl)
