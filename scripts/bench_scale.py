@@ -182,7 +182,7 @@ def main():
     # at >=100k edges its Mosaic compile crashes the remote compile helper
     # (measured round 3); the XLA path is the at-scale production path.
     ap.add_argument("--models", type=str,
-                    default="schnet,egnn,mace_ff")
+                    default="schnet,schnet_sorted,egnn,egnn_sorted,mace_ff")
     ap.add_argument("--steps", type=int, default=0,
                     help="steps per device call (0 = auto by size)")
     ap.add_argument("--cutoff", type=float, default=3.0)
