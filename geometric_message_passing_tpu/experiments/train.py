@@ -176,7 +176,12 @@ def make_tx(lr=1e-4):
     """The experiment optimizer: adam, optionally preceded by global-norm
     clipping.  inject_hyperparams wraps the WHOLE chain so the existing
     ``opt_state.hyperparams["learning_rate"]`` scheduler hooks work
-    unchanged."""
+    unchanged.
+
+    NOTE: GRAD_CLIP changes the optax state TREE STRUCTURE, so orbax
+    checkpoints written with clipping on cannot be restored with it off
+    (and vice versa) — resume with the same --grad_clip setting the run
+    was started with (also noted in the CLI --grad_clip help)."""
     if GRAD_CLIP:
         def _adam_clipped(learning_rate):
             return optax.chain(optax.clip_by_global_norm(GRAD_CLIP),

@@ -86,7 +86,11 @@ class EGNNLayer(nn.Module):
             dists = safe_norm(pos_diff, axis=-1, keepdims=True)
             msg, scale = self.message(h_i, h_j, dists, train=train)
             pos_msg = pos_diff * scale
-            assert self.aggr in ("sum", "add"), self.aggr
+            if self.aggr not in ("sum", "add"):
+                raise ValueError(
+                    f"seg_plans (the sorted-segment Pallas path) only "
+                    f"supports aggr='sum'/'add', got {self.aggr!r}; drop "
+                    f"seg_plans to use the XLA path with this aggregation")
             red = lambda x: sorted_segment_sum(
                 x, r_perm, r_starts, r_local, receivers, edge_mask, r_cfg)
             msg_aggr = red(msg)

@@ -185,7 +185,6 @@ def shard_mace_variables(variables, model, tp_size: int):
     for col, tree in variables.items():
         flat = traverse_util.flatten_dict(tree)
         shards = [dict() for _ in range(tp_size)]
-        renamed = {}   # output key order (fc_out heads can be regrouped)
         for path, x in flat.items():
             x = np.asarray(x)
             key = "/".join(path)
