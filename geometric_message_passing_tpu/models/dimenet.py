@@ -24,7 +24,7 @@ from ..graph import GraphBatch
 # spherenet_layer.py:84-88; update_v.lin_up bias, :202,210)
 from ..nn.basic import torch_linear_bias_init, torch_linear_kernel_init
 from ..ops.dimenet_basis import AngleEmb, DistEmb
-from ..ops.scatter import segment_sum
+from ..ops.scatter import segment_sum, segment_sum_into
 from .pooling import POOL
 from ..ops.norms import safe_arctan2, safe_norm
 
@@ -173,7 +173,7 @@ class InteractionPPBlock(nn.Module):
             else:
                 kj, ji, m, sb = z
             y = x_kj[kj] * proj(mdl, sb)
-            return acc + segment_sum(y, ji, num_edges, mask=m), ()
+            return segment_sum_into(acc, y, ji, mask=m), ()
 
         body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(body, variable_broadcast="params",

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..graph import GraphBatch
 from ..ops.dimenet_basis import AngleEmb, DistEmb, TorsionEmb
-from ..ops.scatter import segment_min, segment_sum
+from ..ops.scatter import segment_min, segment_sum, segment_sum_into
 from .dimenet import (ResidualLayer, glorot_orthogonal, swish,
                       torch_linear_bias_init, torch_linear_kernel_init)
 from .pooling import POOL
@@ -151,7 +151,7 @@ class SphereNetUpdateE(nn.Module):
                 kj, ji, m, sb, tb = z
             y = x_kj[kj] * proj_sbf(mdl, sb)
             y = y * proj_t(mdl, tb)
-            return acc + segment_sum(y, ji, num_edges, mask=m), ()
+            return segment_sum_into(acc, y, ji, mask=m), ()
 
         body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(body, variable_broadcast="params",

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..irreps import Irreps
-from ..ops.scatter import segment_sum
+from ..ops.scatter import segment_sum, segment_sum_into
 from .basic import ACT
 from .equivariant import (
     Activation,
@@ -217,7 +217,7 @@ class _InteractionBase(nn.Module):
             mji = tp.apply(node_feats[s], ea, w)
             if fold:
                 mji = post(mji)
-            return acc + segment_sum(mji, r, num_nodes, mask=m), ()
+            return segment_sum_into(acc, mji, r, mask=m), ()
 
         body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(body, variable_broadcast="params",

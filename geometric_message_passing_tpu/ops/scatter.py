@@ -60,6 +60,40 @@ def segment_sum(data, segment_ids, num_segments: int, mask=None):
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
 
 
+# Accumulator threshold for ``segment_sum_into``: below it the deterministic
+# one-hot MXU form is used (toy regime); above it the direct in-place scatter.
+# Module-level so trials/tests can force either branch.
+_INPLACE_MIN_SEGMENTS = _ONEHOT_MAX_SEGMENTS
+
+
+def segment_sum_into(acc, data, segment_ids, mask=None):
+    """``acc.at[ids].add(masked data)`` — the accumulator form for chunked
+    scan bodies (mace_blocks._conv, dimenet/spherenet triplet folds).
+
+    Numerically equivalent to ``acc + segment_sum(data, ids, N, mask)`` up
+    to fp summation order, but the direct scatter lets XLA alias the scan
+    carry and update it IN PLACE: per-chunk HBM traffic is O(touched rows),
+    not O(N) — the ``zeros -> scatter -> read acc -> write acc`` form moved
+    the full [N, D] accumulator through HBM ~3x per chunk, which at box
+    scale (100k nodes x ~50-160 chunks) was the dominant per-step traffic
+    (RESULTS.md round-4 roofline: mace_ff 0.12 / tfn_ff 0.16 of the
+    bandwidth roof; round-5 fix).  The accumulator enters the scan body
+    LINEARLY, so under remat its value is never saved as a residual —
+    the in-place form is safe on both the fwd and the recomputed bwd pass.
+
+    Below ``_INPLACE_MIN_SEGMENTS`` the deterministic one-hot MXU reduction
+    is kept (toy regime, where the RMW traffic is irrelevant and bitwise
+    reproducibility of the research configs matters)."""
+    n = acc.shape[0]
+    if (n <= _INPLACE_MIN_SEGMENTS
+            and data.ndim >= 2
+            and jnp.issubdtype(data.dtype, jnp.floating)):
+        return acc + segment_sum(data, segment_ids, n, mask=mask)
+    if mask is not None:
+        data = jnp.where(_bcast(mask, data), data, 0)
+    return acc.at[segment_ids].add(data)
+
+
 def segment_mean(data, segment_ids, num_segments: int, mask=None):
     """Mean with empty segments mapped to 0 (torch_scatter semantics)."""
     total = segment_sum(data, segment_ids, num_segments, mask)

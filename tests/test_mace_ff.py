@@ -215,3 +215,85 @@ def test_tfn_ff_trains_a_step():
     params = optax.apply_updates(variables["params"], updates)
     l1 = float(loss_of(params))
     assert np.isfinite(l0) and np.isfinite(l1) and l1 < l0
+
+
+def test_uvu_pair_grouped_matches_per_path():
+    """Round-5 at-scale form: all l3 outputs of one (l1,l2) operand pair
+    batched into one einsum.  Pure reassociation of the per-path form —
+    must agree to f32 roundoff (and with the dense combined form)."""
+    from geometric_message_passing_tpu.irreps import Irreps
+    from geometric_message_passing_tpu.nn.tensor_product import (
+        EdgeTensorProductUVU)
+
+    hidden = (Irreps.spherical_harmonics(3) * 8).sort().simplify()
+    sh = Irreps.spherical_harmonics(3)
+    tp = EdgeTensorProductUVU(hidden, sh, hidden)
+    assert len(tp._pair_groups) < len(tp.paths)
+    rng = np.random.default_rng(1)
+    E = 57
+    x = jnp.asarray(rng.standard_normal((E, hidden.dim)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((E, sh.dim)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((E, tp.weight_numel)), jnp.float32)
+    a = np.asarray(tp._apply_per_path(x, s, w))
+    b = np.asarray(tp._apply_pair_grouped(x, s, w))
+    c = np.asarray(tp._apply_combined(x, s, w))
+    d = np.asarray(tp._apply_bcast(x, s, w))
+    np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(c, a, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(d, a, rtol=2e-5, atol=2e-5)
+
+
+def test_segment_sum_into_matches_add_form():
+    """The in-place accumulator (round-5 box-scale traffic fix) equals the
+    acc + segment_sum form on both branches of its size dispatch."""
+    from geometric_message_passing_tpu.ops import scatter
+
+    rng = np.random.default_rng(2)
+    for n_seg in (64, scatter._ONEHOT_MAX_SEGMENTS + 7):
+        E = 512
+        acc = jnp.asarray(rng.standard_normal((n_seg, 5)), jnp.float32)
+        data = jnp.asarray(rng.standard_normal((E, 5)), jnp.float32)
+        ids = jnp.asarray(rng.integers(0, n_seg, E), jnp.int32)
+        mask = jnp.asarray(rng.random(E) > 0.2)
+        got = np.asarray(scatter.segment_sum_into(acc, data, ids, mask=mask))
+        want = np.asarray(acc + scatter.segment_sum(data, ids, n_seg,
+                                                    mask=mask))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_mace_ff_scale_branches_match_toy(monkeypatch):
+    """Force BOTH at-scale code paths (in-place scatter accumulator +
+    pair-grouped uvu dispatch) at toy sizes and compare fwd + grads against
+    the unchunked reference path."""
+    from geometric_message_passing_tpu.nn.tensor_product import (
+        EdgeTensorProductUVU)
+    from geometric_message_passing_tpu.ops import scatter
+
+    _, batch = _batch(seed=7)
+    kw = dict(num_layers=2, emb_dim=8, max_ell=2, correlation=2, in_dim=4,
+              node_chunk=None)
+    model = MACEForceField(**kw)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = np.asarray(model.apply(variables, batch))
+
+    E = batch.senders.shape[0]
+    monkeypatch.setattr(scatter, "_INPLACE_MIN_SEGMENTS", 1)
+    monkeypatch.setattr(EdgeTensorProductUVU, "COMBINED_MAX_EDGES", 1)
+    model_s = MACEForceField(**{k: v for k, v in kw.items()
+                                if k != "node_chunk"},
+                             edge_chunk=max(E // 3 - 1, 1))
+    out_s = np.asarray(model_s.apply(variables, batch))
+    np.testing.assert_allclose(out_s, out, rtol=1e-4, atol=1e-4)
+
+    def loss(m):
+        def f(params):
+            return jnp.sum(m.apply({**variables, "params": params},
+                                   batch) ** 2)
+        return f
+
+    g = jax.grad(loss(model))(variables["params"])
+    g_s = jax.grad(loss(model_s))(variables["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3),
+        g, g_s)
