@@ -1046,25 +1046,50 @@ def run_experiment_reg(model_func, model_args, train_loader, val_loader,
                        test_loader, n_epochs=100, n_times=100, verbose=False,
                        cosine=False, lr=1e-4, loss_mask=False,
                        checkpoint_dir=None, checkpoint_every=0,
-                       nan_recovery=False):
+                       nan_recovery=False, mesh=None):
     """Regression repeat protocol (train_utils.py:221-241): model re-init
     each repeat.  ``checkpoint_dir`` enables fault-tolerant training (one
     subdirectory per repeat); a re-run with the same dir resumes each
-    repeat from its latest checkpoint."""
+    repeat from its latest checkpoint.
+
+    ``mesh``: run every train/eval step data-parallel over the given
+    ``jax.sharding.Mesh`` (experiments/dp_fit.py; cosine + checkpointing
+    supported, loss_mask/nan_recovery are single-device-engine features) —
+    the full experiment protocol incl. the ledger record then executes
+    under sharding."""
     init_batch = tiny_init_batch(train_loader)
     best_val, test_mae, times = [], [], []
     for idx in range(n_times):
         model = model_func(**model_args)
         rng = seed_everything(idx)
         variables = init_variables(model, rng, init_batch)
-        res = fit_regression(
-            model, variables, train_loader, val_loader, test_loader,
-            n_epochs=n_epochs, lr=lr, cosine=cosine, loss_mask=loss_mask,
-            seed=idx,
-            checkpoint_dir=(f"{checkpoint_dir}/run{idx}"
-                            if checkpoint_dir else None),
-            checkpoint_every=checkpoint_every, nan_recovery=nan_recovery,
-        )
+        if mesh is not None:
+            if loss_mask or nan_recovery:
+                raise ValueError("loss_mask/nan_recovery are not supported "
+                                 "under mesh execution (single-device "
+                                 "engine features)")
+            from .dp_fit import fit_dp
+
+            res = fit_dp(
+                model, variables, train_loader.graphs, val_loader.graphs,
+                test_loader.graphs, n_epochs=n_epochs, mesh=mesh,
+                batch_size=train_loader.batch_size, lr=lr, cosine=cosine,
+                plateau=None if cosine else PlateauConfig(
+                    mode="max", factor=0.9, patience=15, min_lr=1e-4),
+                seed=idx,
+                checkpoint_dir=(f"{checkpoint_dir}/run{idx}"
+                                if checkpoint_dir else None),
+                checkpoint_every=checkpoint_every,
+            )
+        else:
+            res = fit_regression(
+                model, variables, train_loader, val_loader, test_loader,
+                n_epochs=n_epochs, lr=lr, cosine=cosine, loss_mask=loss_mask,
+                seed=idx,
+                checkpoint_dir=(f"{checkpoint_dir}/run{idx}"
+                                if checkpoint_dir else None),
+                checkpoint_every=checkpoint_every, nan_recovery=nan_recovery,
+            )
         best_val.append(res.best_val)
         test_mae.append(res.test)
         times.append(res.train_time)

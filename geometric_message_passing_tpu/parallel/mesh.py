@@ -117,14 +117,47 @@ def make_hybrid_mesh(ici_shape: Tuple[int, ...],
 
     Example — 2 slices x 8 chips, DP across slices, gp within each slice:
         make_hybrid_mesh(ici_shape=(1, 8), dcn_shape=(2, 1), ("dp", "gp"))
+
+    On a single-granule platform (one process, no slice topology — e.g.
+    the 8-virtual-device CPU test mesh) the same two-tier LAYOUT is
+    emulated: the flat device list is partitioned into ``prod(dcn_shape)``
+    contiguous pseudo-slices of ``prod(ici_shape)`` devices, arranged
+    dcn-major per axis exactly as the real hybrid mesh would be — so
+    programs written against the hybrid axis layout execute (and are
+    tested) without pod hardware, and run unchanged on one.
     """
     from jax.experimental import mesh_utils
 
-    arr = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=tuple(ici_shape),
-        dcn_mesh_shape=tuple(dcn_shape),
-        devices=jax.devices(),
-    )
+    if len(ici_shape) != len(dcn_shape):
+        raise ValueError(f"rank mismatch: {ici_shape} vs {dcn_shape}")
+    try:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=tuple(ici_shape),
+            dcn_mesh_shape=tuple(dcn_shape),
+            devices=jax.devices(),
+        )
+    except (ValueError, AssertionError):
+        import numpy as _np
+
+        devices = jax.devices()
+        need = 1
+        for i, d in zip(ici_shape, dcn_shape):
+            need *= i * d
+        if len(devices) < need:
+            raise ValueError(
+                f"hybrid mesh {ici_shape}x{dcn_shape} needs {need} devices, "
+                f"have {len(devices)}")
+        # (d0, d1, ..., i0, i1, ...) then interleave to (d0, i0, d1, i1, ..)
+        # and merge adjacent pairs -> axis k has size dcn[k]*ici[k] with the
+        # dcn granule major (same convention as create_hybrid_device_mesh).
+        arr = _np.asarray(devices[:need]).reshape(
+            tuple(dcn_shape) + tuple(ici_shape))
+        rank = len(ici_shape)
+        perm = []
+        for k in range(rank):
+            perm += [k, rank + k]
+        arr = arr.transpose(perm).reshape(
+            tuple(d * i for d, i in zip(dcn_shape, ici_shape)))
     return Mesh(arr, axis_names)
 
 
