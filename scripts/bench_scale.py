@@ -212,6 +212,13 @@ def main():
                        if name in ("mace_ff", "tfn_ff", "dimenet",
                                    "spherenet") else steps)
             b = batch
+            if name in ("mace_ff", "tfn_ff") and n_nodes < 100000:
+                # round-5 sweep: 16384-edge chunks win ~15% at <=30k boxes
+                # (1382->1180 mace, 1172->1025 tfn @30k) but LOSE at 100k
+                # (HBM pressure: 3.0->3.3s mace, 3.7->5.6s tfn) — the
+                # live per-chunk intermediates double while the
+                # accumulator set is already ~1.5 GB
+                cfg = {**cfg, "edge_chunk": 16384}
             if name == "gvp" and n_nodes >= 30000:
                 # full-width GVP at >=398k edges sits at the HBM edge
                 # (15.3 GB live chain activations); remat clears it
