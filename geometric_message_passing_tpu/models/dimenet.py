@@ -43,6 +43,49 @@ def swish(x):
     return x * nn.sigmoid(x)
 
 
+def _edge_chunked(mdl, fn, chunk, outs_like, *arrays):
+    """Run a row-independent per-edge stage ``fn(mdl, *chunk_arrays)`` in
+    ``chunk``-row blocks inside an nn.scan with a rematerialized body — the
+    mace_ff ``_conv`` pattern (nn/mace_blocks.py) applied to DimeNet's
+    per-edge MLP chains (round-5 VERDICT item 2: the ~150 live [E, hidden]
+    activations of the residual chains bounded to one chunk fwd AND bwd).
+
+    ``fn`` must CREATE its submodules inside itself under fixed names so
+    chunked and unchunked parameter trees match (flax lifted transforms
+    cannot close over submodules).  ``outs_like``: number of outputs.
+    Exact up to nothing: elementwise over rows -> bitwise identical."""
+    E = arrays[0].shape[0]
+    if chunk is None or E <= chunk:
+        return fn(mdl, *arrays)
+    n_chunks = -(-E // chunk)
+    pad = n_chunks * chunk - E
+
+    def pad_to(v):
+        if not pad:
+            return v
+        tail = jnp.zeros((pad,) + v.shape[1:], v.dtype)
+        return jnp.concatenate([v, tail], axis=0)
+
+    xs = tuple(pad_to(v).reshape((n_chunks, chunk) + v.shape[1:])
+               for v in arrays)
+
+    def body(m, carry, z):
+        out = fn(m, *z)
+        return carry, out if isinstance(out, tuple) else (out,)
+
+    body = nn.remat(body, prevent_cse=False)
+    scan = nn.scan(body, variable_broadcast="params",
+                   split_rngs={"params": False})
+    _, ys = scan(mdl, 0, xs)
+    # a body may emit a REPACKED leading dim (e.g. pairs of rows fused
+    # into wider rows — bitcast-compatible); scale ``E`` accordingly.
+    ys = tuple(
+        y.reshape((n_chunks * y.shape[1],) + y.shape[2:])
+        [: E * y.shape[1] // chunk]
+        for y in ys)
+    return ys if outs_like > 1 else ys[0]
+
+
 
 class ResidualLayer(nn.Module):
     hidden: int
@@ -96,6 +139,11 @@ class InteractionPPBlock(nn.Module):
     # invariant (NOT carry — scan vjp saves the carry per iteration).
     # None = single pass (identical numerics up to sum reassociation).
     triplet_chunk: Optional[int] = None
+    # num_spherical, STATIC (module field, not basis_ctx payload): under
+    # lifted transforms (nn.remat of the whole block, round 5) every
+    # basis_ctx leaf is traced, and the Legendre table builder needs a
+    # python int.
+    ns: int = 7
 
     def _triplet_pass(self, x_kj, sbf, idx_kj, idx_ji, t_mask, num_edges,
                       basis_ctx=None):
@@ -118,8 +166,10 @@ class InteractionPPBlock(nn.Module):
             return nn.Dense(mdl.int_emb_size, use_bias=False,
                             kernel_init=go(), name="lin_sbf2")(sb)
 
+        ns = self.ns
+
         def sbf_of(ctx, kj, ii, jj, kk):
-            from ..ops.dimenet_basis import angle_cbf
+            from ..ops.dimenet_basis import angle_cbf, sph_bessel_rbf
 
             pos = ctx["pos"]
             pos_i = pos[ii]
@@ -128,20 +178,44 @@ class InteractionPPBlock(nn.Module):
             a = jnp.sum(pos_ji * pos_ki, axis=-1)
             b = safe_norm(jnp.cross(pos_ji, pos_ki), axis=-1)
             angle = safe_arctan2(b, a)
-            cbf = angle_cbf(angle, ctx["ns"])              # [c, ns]
-            rs = ctx["rbf_sph"][kj]                        # [c, ns*nr]
-            ns = ctx["ns"]
+            cbf = angle_cbf(angle, ns)                     # [c, ns]
+            if "rbf_sph" in ctx:
+                rs = ctx["rbf_sph"][kj]                    # [c, ns*nr]
+            else:
+                # 100k regime: the [E, ns*nr] table itself is ~0.24 GB —
+                # gather the scalar dist and evaluate the Bessel basis on
+                # the chunk instead (exact: elementwise over rows)
+                rs = sph_bessel_rbf(ctx["dist"][kj], ns,
+                                    ctx["nr"], ctx["cutoff"])
             out = rs.reshape(rs.shape[0], ns, -1) * cbf[:, :, None]
             return out.reshape(rs.shape[0], -1)
 
         T = idx_kj.shape[0]
         C = self.triplet_chunk
+        # TPU gather/scatter row-width cliff (round-5 root cause of the
+        # "narrow 2x slower" anomaly, scripts/trial_dimenet_narrow.py +
+        # the width isolation in RESULTS.md): rows narrower than 64 f32
+        # (256 B) hit a ~3.2x SLOWER absolute path in the scatter/gather
+        # lowering (W=32: 506 ms vs W=64: 159 ms for the same 5.4M-triplet
+        # schedule — half the data, triple the time; W=64 == W=128).
+        # Zero-pad the triplet pass to 64 columns and slice back: exact,
+        # 2x logical traffic, 3x measured win.
+        MIN_W = 64
+        padw = MIN_W - self.int_emb_size if self.int_emb_size < MIN_W else 0
+        if padw:
+            x_kj = jnp.pad(x_kj, ((0, 0), (0, padw)))
+
+        def proj_p(mdl, sb):
+            p = proj(mdl, sb)
+            return jnp.pad(p, ((0, 0), (0, padw))) if padw else p
+
         if C is None or T <= C:
             if sbf is None:
                 sbf = sbf_of(basis_ctx, idx_kj, basis_ctx["idx_i"],
                              basis_ctx["idx_j"], basis_ctx["idx_k"])
-            y = x_kj[idx_kj] * proj(self, sbf)
-            return segment_sum(y, idx_ji, num_edges, mask=t_mask)
+            y = x_kj[idx_kj] * proj_p(self, sbf)
+            out = segment_sum(y, idx_ji, num_edges, mask=t_mask)
+            return out[:, : self.int_emb_size] if padw else out
         n_chunks = -(-T // C)
         pad = n_chunks * C - T
 
@@ -172,15 +246,15 @@ class InteractionPPBlock(nn.Module):
                 sb = sbf_of(basis_ctx, kj, ii, jj, kk)
             else:
                 kj, ji, m, sb = z
-            y = x_kj[kj] * proj(mdl, sb)
+            y = x_kj[kj] * proj_p(mdl, sb)
             return segment_sum_into(acc, y, ji, mask=m), ()
 
         body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False})
-        acc0 = jnp.zeros((num_edges, self.int_emb_size), x_kj.dtype)
+        acc0 = jnp.zeros((num_edges, self.int_emb_size + padw), x_kj.dtype)
         acc, _ = scan(self, acc0, tuple(xs))
-        return acc
+        return acc[:, : self.int_emb_size] if padw else acc
 
     # Rematerialize the per-edge MLP stages around the triplet pass in the
     # backward pass (round 4, 100k-box regime): the interaction blocks'
@@ -189,6 +263,10 @@ class InteractionPPBlock(nn.Module):
     # Method-level remat (same pattern as the triplet-scan body) keeps the
     # parameter tree identical to the plain path.  Numerics identical.
     remat: bool = False
+    # Round-5 (VERDICT item 2): run the pre/post per-edge MLP chains in
+    # edge blocks (nn.scan + remat, _edge_chunked) so the live per-edge
+    # working set is one chunk, not the whole chain — the 100k-box enabler.
+    edge_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, rbf, sbf, idx_kj, idx_ji, t_mask, basis_ctx=None):
@@ -218,13 +296,38 @@ class InteractionPPBlock(nn.Module):
                 h = ResidualLayer(mdl.hidden)(h)
             return h
 
-        if self.remat:
-            pre = nn.remat(pre, prevent_cse=False)
-            post = nn.remat(post, prevent_cse=False)
+        if self.edge_chunk is not None:
+            # pack pairs of int_emb-wide rows into 128-wide rows INSIDE the
+            # chunk body (pure bitcast both ways): the saved x_kj residual
+            # stacks otherwise tile-pad 64 -> 128 lanes, 2x their bytes
+            # (4 x 672 MB at the 100k box)
+            f = max(128 // self.int_emb_size, 1)
+            if self.edge_chunk % f or num_edges % f:
+                f = 1
 
-        x_ji, x_kj = pre(self, x, rbf)
+            def pre_packed(mdl, x, rbf):
+                x_ji, x_kj = pre(mdl, x, rbf)
+                if f > 1:
+                    x_kj = x_kj.reshape(x_kj.shape[0] // f,
+                                        f * x_kj.shape[1])
+                return x_ji, x_kj
+
+            x_ji, x_kj = _edge_chunked(self, pre_packed, self.edge_chunk,
+                                       2, x, rbf)
+            if f > 1:
+                x_kj = x_kj.reshape(x_kj.shape[0] * f,
+                                    x_kj.shape[1] // f)
+        else:
+            if self.remat:
+                pre = nn.remat(pre, prevent_cse=False)
+            x_ji, x_kj = pre(self, x, rbf)
         x_kj = self._triplet_pass(x_kj, sbf, idx_kj, idx_ji, t_mask,
                                   num_edges, basis_ctx=basis_ctx)
+        if self.edge_chunk is not None:
+            return _edge_chunked(self, post, self.edge_chunk, 1,
+                                 x_ji, x_kj, x)
+        if self.remat:
+            post = nn.remat(post, prevent_cse=False)
         return post(self, x_ji, x_kj, x)
 
 
@@ -236,22 +339,64 @@ class OutputPPBlock(nn.Module):
     # backward-pass remat (round 4): the int num_nodes arg rides a CLOSURE
     # (static by value) so the lifted transform never traces it
     remat: bool = False
+    # round-5: accumulate the rbf-gated edge stage per edge chunk
+    # (segment_sum_into into the [N, hidden] carry) so no full-E
+    # intermediate exists; explicit Dense_N names keep the parameter tree
+    # identical to the historical auto-named unchunked tree.
+    edge_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, rbf, receivers, num_nodes, edge_mask):
         go = glorot_orthogonal
 
-        def inner(mdl, x, rbf, receivers, edge_mask):
-            x = nn.Dense(mdl.hidden, use_bias=False,
-                         kernel_init=go())(rbf) * x
-            x = segment_sum(x, receivers, num_nodes, mask=edge_mask)
+        def edge_gate(mdl, x, rbf):
+            return nn.Dense(mdl.hidden, use_bias=False,
+                            kernel_init=go(), name="Dense_0")(rbf) * x
+
+        def node_mlp(mdl, x):
             x = nn.Dense(mdl.out_emb_channels, use_bias=False,
-                         kernel_init=go())(x)
-            for _ in range(mdl.num_output_layers):
-                x = swish(nn.Dense(mdl.out_emb_channels,
-                                   kernel_init=go())(x))
-            return nn.Dense(mdl.out_dim, use_bias=False,
-                            kernel_init=nn.initializers.zeros)(x)
+                         kernel_init=go(), name="Dense_1")(x)
+            for k in range(mdl.num_output_layers):
+                x = swish(nn.Dense(mdl.out_emb_channels, kernel_init=go(),
+                                   name=f"Dense_{2 + k}")(x))
+            return nn.Dense(
+                mdl.out_dim, use_bias=False,
+                kernel_init=nn.initializers.zeros,
+                name=f"Dense_{2 + mdl.num_output_layers}")(x)
+
+        E = x.shape[0]
+        C = self.edge_chunk
+        if C is not None and E > C:
+            n_chunks = -(-E // C)
+            pad = n_chunks * C - E
+
+            def pad_to(v, fill=0):
+                if not pad:
+                    return v
+                tail = jnp.full((pad,) + v.shape[1:], fill, v.dtype)
+                return jnp.concatenate([v, tail], axis=0)
+
+            xs = (pad_to(x).reshape(n_chunks, C, -1),
+                  pad_to(rbf).reshape(n_chunks, C, -1),
+                  pad_to(receivers).reshape(n_chunks, C),
+                  pad_to(edge_mask, False).reshape(n_chunks, C))
+
+            def body(mdl, acc, z):
+                xc, rc, ridx, m = z
+                return segment_sum_into(
+                    acc, edge_gate(mdl, xc, rc), ridx, mask=m), ()
+
+            body = nn.remat(body, prevent_cse=False)
+            scan = nn.scan(body, variable_broadcast="params",
+                           split_rngs={"params": False})
+            acc0 = jnp.zeros((num_nodes, self.hidden), x.dtype)
+            acc, _ = scan(self, acc0, xs)
+            return node_mlp(self, acc)
+
+        def inner(mdl, x, rbf, receivers, edge_mask):
+            x = edge_gate(mdl, x, rbf)
+            x = segment_sum(x, receivers, num_nodes, mask=edge_mask)
+            return node_mlp(mdl, x)
 
         if self.remat:
             inner = nn.remat(inner, prevent_cse=False)
@@ -294,6 +439,26 @@ class DimeNetPPModel(nn.Module):
     # Block-level remat trades recompute for holding only block-boundary
     # activations.  Numerics identical.
     remat_blocks: bool = False
+    # Round-5 (VERDICT item 2): additionally run every per-edge MLP stage
+    # (interaction pre/post chains, output-block edge gates) in edge
+    # chunks (nn.scan + remat; _edge_chunked / the OutputPPBlock scan) —
+    # live per-edge intermediates bounded to one chunk, the 100k enabler.
+    edge_chunk: Optional[int] = None
+    # Rematerialize each ENTIRE interaction block (pre + triplet pass +
+    # post) as one unit: bwd saves only the block-boundary x instead of
+    # x_ji / x_kj / the triplet accumulator per block (each a full-E
+    # [E, hidden] array — the last ~1.6 GB past HBM at the 100k box even
+    # with edge chunking).  Costs one extra triplet-pass forward per
+    # block in bwd.  Numerics identical.
+    remat_full_blocks: bool = False
+    # 100k regime: evaluate the radial Bessel half of the spherical basis
+    # per triplet chunk (from the scalar dist) instead of keeping the
+    # [E, ns*nr] table resident (~0.24 GB at 1.35M edges).  Exact.
+    rbf_in_chunk: bool = False
+    # chunk the output-block edge gates too (default).  False keeps the
+    # gates unchunked-but-remat'd: their chunk stacks otherwise pin a
+    # SECOND copy of each block-boundary x (~0.7-1.3 GB apiece at 100k).
+    chunk_output_blocks: bool = True
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -301,6 +466,45 @@ class DimeNetPPModel(nn.Module):
         tri = batch.triplets
         pos = batch.pos
         j, i = batch.senders, batch.receivers
+        edge_mask = batch.edge_mask
+
+        # Pad the edge axis ONCE to a chunk multiple (round-5): every
+        # _edge_chunked reshape [E', d] <-> [n_chunks, C, d] is then a
+        # COPY-FREE bitcast instead of a pad-copy per stage — at the 100k
+        # box the per-stage pad copies were several live 704 MB
+        # [11, 131072, 128] buffers, the last ~0.3 GB past HBM (measured
+        # via compiled.memory_analysis).  Pad edges carry j = i = 0 and
+        # mask False — the same sentinel discipline as batch padding;
+        # triplet indices (< E) and node scatters are unaffected.
+        if self.edge_chunk is not None:
+            C_e = self.edge_chunk
+            E0 = j.shape[0]
+            E2 = -(-E0 // C_e) * C_e
+            if E2 != E0:
+                padn = E2 - E0
+                j = jnp.concatenate([j, jnp.zeros(padn, j.dtype)])
+                i = jnp.concatenate([i, jnp.zeros(padn, i.dtype)])
+                edge_mask = jnp.concatenate(
+                    [edge_mask, jnp.zeros(padn, bool)])
+
+        # Same pad-once treatment for the TRIPLET axis: five [T] index
+        # arrays each pad-copied per interaction block otherwise (~0.4 GB
+        # of duplicate stacks at 18.5M triplets).
+        idx_kj, idx_ji, t_mask = tri.idx_kj, tri.idx_ji, tri.t_mask
+        idx_i, idx_j, idx_k = tri.idx_i, tri.idx_j, tri.idx_k
+        if self.triplet_chunk is not None:
+            T0 = idx_kj.shape[0]
+            T2 = -(-T0 // self.triplet_chunk) * self.triplet_chunk
+            if T2 != T0:
+                padt = T2 - T0
+                z = jnp.zeros(padt, idx_kj.dtype)
+                idx_kj = jnp.concatenate([idx_kj, z])
+                idx_ji = jnp.concatenate([idx_ji, z])
+                idx_i = jnp.concatenate([idx_i, z])
+                idx_j = jnp.concatenate([idx_j, z])
+                idx_k = jnp.concatenate([idx_k, z])
+                t_mask = jnp.concatenate(
+                    [t_mask, jnp.zeros(padt, bool)])
 
         dist = safe_norm(pos[i] - pos[j], axis=-1)
         in_chunk = self.triplet_chunk is not None and self.sbf_in_chunk
@@ -311,21 +515,24 @@ class DimeNetPPModel(nn.Module):
             sbf = None
             basis_ctx = {
                 "pos": pos,
-                "rbf_sph": sph_bessel_rbf(dist, self.num_spherical,
-                                          self.num_radial, self.cutoff),
-                "idx_i": tri.idx_i, "idx_j": tri.idx_j, "idx_k": tri.idx_k,
-                "ns": self.num_spherical,
+                "idx_i": idx_i, "idx_j": idx_j, "idx_k": idx_k,
             }
+            if self.rbf_in_chunk:
+                basis_ctx.update(dist=dist, nr=self.num_radial,
+                                 cutoff=self.cutoff)
+            else:
+                basis_ctx["rbf_sph"] = sph_bessel_rbf(
+                    dist, self.num_spherical, self.num_radial, self.cutoff)
         else:
             # fork's angle-at-i convention (dimenet.py:86-90)
-            pos_i = pos[tri.idx_i]
-            pos_ji = pos[tri.idx_j] - pos_i
-            pos_ki = pos[tri.idx_k] - pos_i
+            pos_i = pos[idx_i]
+            pos_ji = pos[idx_j] - pos_i
+            pos_ki = pos[idx_k] - pos_i
             a = jnp.sum(pos_ji * pos_ki, axis=-1)
             b = safe_norm(jnp.cross(pos_ji, pos_ki), axis=-1)
             angle = safe_arctan2(b, a)
             sbf = AngleEmb(self.num_spherical, self.num_radial, self.cutoff,
-                           name="sbf")(dist, angle, tri.idx_kj)
+                           name="sbf")(dist, angle, idx_kj)
 
         rbf = DistEmb(self.num_radial, self.cutoff, self.envelope_exponent,
                       zero_outside=True, name="rbf")(dist)
@@ -335,15 +542,29 @@ class DimeNetPPModel(nn.Module):
         # [E, *] temps next to the interaction blocks' dozens; the
         # interaction blocks remat their pre/post edge-MLP stages
         # internally (InteractionPPBlock.remat)
-        Inter = InteractionPPBlock
+        # NOTE prevent_cse stays True (default) here: at the top level,
+        # allowing CSE lets XLA share the bwd recompute with the forward
+        # pass — which keeps every block's internals alive and DEFEATS the
+        # remat (measured: 19.6 GB temp vs 12-13 GB with the barrier).
+        Inter = (nn.remat(InteractionPPBlock)
+                 if self.remat_full_blocks else InteractionPPBlock)
         Out = OutputPPBlock
         x = EmbeddingBlock(self.hidden_channels, name="emb")(
             batch.atoms, rbf, j, i
         )
+        # Under whole-block remat the output blocks go UNCHUNKED but
+        # remat'd: five chunked gate scans each pinned their own copy of
+        # the x chunk-stack behind the remat barriers (~0.7 GB apiece at
+        # the 100k box), while the unchunked gate holds one transient.
+        out_chunk = (self.edge_chunk if self.chunk_output_blocks
+                     and not self.remat_full_blocks else None)
+        out_remat = (self.remat_blocks or self.remat_full_blocks
+                     or not self.chunk_output_blocks)
         P = Out(
             self.hidden_channels, self.out_emb_channels, self.out_dim,
-            self.num_output_layers, remat=self.remat_blocks, name="output_0",
-        )(x, rbf, i, batch.num_nodes, batch.edge_mask)
+            self.num_output_layers, remat=out_remat,
+            edge_chunk=out_chunk, name="output_0",
+        )(x, rbf, i, batch.num_nodes, edge_mask)
 
         for blk in range(self.num_layers):
             x = Inter(
@@ -351,13 +572,16 @@ class DimeNetPPModel(nn.Module):
                 self.num_before_skip, self.num_after_skip,
                 triplet_chunk=self.triplet_chunk,
                 remat=self.remat_blocks,
+                edge_chunk=self.edge_chunk,
+                ns=self.num_spherical,
                 name=f"interaction_{blk}",
-            )(x, rbf, sbf, tri.idx_kj, tri.idx_ji, tri.t_mask,
+            )(x, rbf, sbf, idx_kj, idx_ji, t_mask,
               basis_ctx=basis_ctx)
             P = P + Out(
                 self.hidden_channels, self.out_emb_channels, self.out_dim,
-                self.num_output_layers, remat=self.remat_blocks,
+                self.num_output_layers, remat=out_remat,
+                edge_chunk=out_chunk,
                 name=f"output_{blk + 1}",
-            )(x, rbf, i, batch.num_nodes, batch.edge_mask)
+            )(x, rbf, i, batch.num_nodes, edge_mask)
 
         return POOL[self.pool](P, batch)

@@ -224,9 +224,18 @@ def main():
                 # (15.3 GB live chain activations); remat clears it
                 cfg = {**cfg, "remat": True}
             if name == "dimenet" and n_nodes >= 50000:
-                # the 4-block per-edge residual chain is ~150 live [E,128]
-                # activations without remat — past HBM at 1.35M edges
-                cfg = {**cfg, "remat_blocks": True}
+                # round-5: per-edge MLP chains run edge-chunked (the
+                # mace_ff _conv pattern) — live per-edge intermediates
+                # bounded to one chunk; remat_blocks kept for the
+                # residual-chain boundaries
+                cfg = {**cfg, "remat_blocks": True, "edge_chunk": 131072}
+            if name == "dimenet" and n_nodes >= 100000:
+                # 100k enablers (round 5): 64k edge chunks + in-chunk
+                # radial basis + the packed x_kj stacks; single-step
+                # device calls (a 2-step call exceeds the tunnel's
+                # ~1-2 min execution kill at ~36 s/step)
+                cfg = {**cfg, "edge_chunk": 65536, "rbf_in_chunk": True}
+                m_steps = 1
             if name in ("egnn_sorted", "schnet_sorted"):
                 from geometric_message_passing_tpu.graph import (
                     sort_edges_by_receiver)

@@ -351,3 +351,91 @@ def test_spherenet_triplet_quad_chunk_matches_unchunked():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3),
         g, g_c)
+
+
+def test_dimenet_edge_chunked_matches_unchunked():
+    """Round-5 100k enablers are pure schedule changes: edge_chunk (pre/
+    post MLP chains + output gates in edge blocks), pad-once axes,
+    rbf_in_chunk, and the packed x_kj stacks must reproduce the unchunked
+    model bitwise (elementwise over rows), fwd AND grads — including
+    chunk sizes that do not divide E/T."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from geometric_message_passing_tpu import datasets as ds
+    from geometric_message_passing_tpu.graph import GraphLoader
+    from geometric_message_passing_tpu.models.dimenet import DimeNetPPModel
+
+    g = ds.create_star_graphs(num=4, fold=[5, 6], dim=3, seed=0)
+    b = next(iter(GraphLoader(g, batch_size=4, with_triplets=True)))
+    kw = dict(num_layers=2, hidden_channels=16, int_emb_size=8,
+              basis_emb_size=4, out_emb_channels=16, out_dim=1)
+    m0 = DimeNetPPModel(**kw)
+    v0 = m0.init(jax.random.PRNGKey(0), b)
+    o0 = np.asarray(m0.apply(v0, b))
+    g0 = jax.grad(lambda p: jnp.sum(m0.apply({"params": p}, b) ** 2))(
+        v0["params"])
+    for extra in (dict(edge_chunk=100, triplet_chunk=100),
+                  dict(edge_chunk=100, triplet_chunk=100,
+                       rbf_in_chunk=True),
+                  dict(edge_chunk=100, triplet_chunk=100,
+                       rbf_in_chunk=True, remat_blocks=True)):
+        mc = DimeNetPPModel(**kw, **extra)
+        vc = mc.init(jax.random.PRNGKey(0), b)
+        assert (jax.tree_util.tree_structure(vc)
+                == jax.tree_util.tree_structure(v0))
+        oc = np.asarray(mc.apply(v0, b))
+        np.testing.assert_array_equal(oc, o0, err_msg=str(extra))
+        gc = jax.grad(lambda p: jnp.sum(mc.apply({"params": p}, b) ** 2))(
+            v0["params"])
+        jax.tree.map(lambda a, bb: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(bb), err_msg=str(extra)), g0, gc)
+
+
+def test_dimenet_triplet_width_pad_matches():
+    """The scatter-width-cliff fix (zero-pad the triplet pass to 64
+    columns for int_emb < 64) is exact on both the chunked and the
+    single-pass branch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from geometric_message_passing_tpu import datasets as ds
+    from geometric_message_passing_tpu.graph import GraphLoader
+    from geometric_message_passing_tpu.models.dimenet import (
+        InteractionPPBlock)
+
+    g = ds.create_star_graphs(num=2, fold=[5], dim=3, seed=1)
+    b = next(iter(GraphLoader(g, batch_size=2, with_triplets=True)))
+    tri = b.triplets
+    E = b.senders.shape[0]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((E, 16)), jnp.float32)
+    rbf = jnp.asarray(rng.standard_normal((E, 6)), jnp.float32)
+    from geometric_message_passing_tpu.ops.dimenet_basis import AngleEmb
+    from geometric_message_passing_tpu.ops.norms import (safe_arctan2,
+                                                         safe_norm)
+
+    pos = b.pos
+    pos_i = pos[tri.idx_i]
+    pos_ji = pos[tri.idx_j] - pos_i
+    pos_ki = pos[tri.idx_k] - pos_i
+    a = jnp.sum(pos_ji * pos_ki, axis=-1)
+    bb = safe_norm(jnp.cross(pos_ji, pos_ki), axis=-1)
+    angle = safe_arctan2(bb, a)
+    dist = safe_norm(pos[b.receivers] - pos[b.senders], axis=-1)
+    emb = AngleEmb(7, 6, 10.0)
+    sbf = emb.apply({}, dist, angle, tri.idx_kj)
+
+    # int_emb 8 < 64 exercises the width pad on both branches
+    blk_1 = InteractionPPBlock(16, 8, 4, 1, 1)
+    blk_c = InteractionPPBlock(16, 8, 4, 1, 1, triplet_chunk=64)
+    v = blk_1.init(jax.random.PRNGKey(0), x, rbf, sbf, tri.idx_kj,
+                   tri.idx_ji, tri.t_mask)
+    o1 = np.asarray(blk_1.apply(v, x, rbf, sbf, tri.idx_kj, tri.idx_ji,
+                                tri.t_mask))
+    oc = np.asarray(blk_c.apply(v, x, rbf, sbf, tri.idx_kj, tri.idx_ji,
+                                tri.t_mask))
+    assert np.all(np.isfinite(o1))
+    np.testing.assert_allclose(oc, o1, rtol=2e-6, atol=2e-6)
