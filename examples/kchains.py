@@ -28,6 +28,7 @@ def main(argv=None):
                    default=["mpnn", "egnn"])
     p.add_argument("--n_epochs", type=int, default=100)
     p.add_argument("--n_times", type=int, default=3)
+    p.add_argument("--lr", type=float, default=1e-4)
     args = p.parse_args(argv)
 
     data = ds.create_kchains(args.k)
@@ -39,7 +40,7 @@ def main(argv=None):
                                          in_dim=1, out_dim=2)
             best_val, test_acc, _ = run_experiment(
                 model, loader, loader, loader, n_epochs=args.n_epochs,
-                n_times=args.n_times,
+                n_times=args.n_times, lr=args.lr,
             )
             print(f"{name:8s} layers={num_layers}: "
                   f"test {np.mean(test_acc):6.1f}% ± {np.std(test_acc):.1f}")
