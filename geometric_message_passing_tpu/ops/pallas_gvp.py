@@ -193,8 +193,14 @@ def _pad_edges(arrs_1d, arrs_2d, be):
 
 
 def gvp_message_xla(send, recv, emask, s, vx, vy, vz, es, evx, evy, evz,
-                    weights: Sequence, n_layers: int):
-    """XLA twin: identical math via advanced indexing + segment sums."""
+                    weights: Sequence, n_layers: int, seg_plans=None):
+    """XLA twin: identical math via advanced indexing + segment sums.
+
+    ``seg_plans`` (round 5, VERDICT item 6): optional sorted segment-tile
+    plans ({'rcv','snd'}, ops/pallas_sorted_segsum.py) — the wide merged
+    reduction (the [E, so+3v+1] segment sum below, GVP's single biggest
+    scatter) runs through the tiled sorted-segment Pallas kernel, and the
+    send-side endpoint gather's BACKWARD scatter-add does too."""
     from .scatter import segment_sum
 
     n = s.shape[0]
@@ -203,7 +209,15 @@ def gvp_message_xla(send, recv, emask, s, vx, vy, vz, es, evx, evy, evz,
     # 8 narrow gathers + 5 narrow one-hot reduction GEMMs.
     so, nv = s.shape[1], vx.shape[1]
     feat = jnp.concatenate([s, vx, vy, vz], axis=-1)
-    f_j, f_i = feat[send], feat[recv]
+    if seg_plans is not None:
+        from .pallas_sorted_segsum import sorted_gather, sorted_segment_sum
+
+        (s_perm, s_starts, s_local, s_cfg) = seg_plans["snd"]
+        f_j = sorted_gather(feat, send, s_perm, s_starts, s_local,
+                            emask, s_cfg)
+    else:
+        f_j = feat[send]
+    f_i = feat[recv]
     sl = lambda f, k: f[:, so + k * nv : so + (k + 1) * nv]
     s_cat = jnp.concatenate([f_j[:, :so], es, f_i[:, :so]], axis=-1)
     cx = jnp.concatenate([sl(f_j, 0), evx, sl(f_i, 0)], axis=-1)
@@ -212,7 +226,12 @@ def gvp_message_xla(send, recv, emask, s, vx, vy, vz, es, evx, evy, evz,
     ms, mvx, mvy, mvz = gvp_chain(s_cat, cx, cy, cz, list(weights), n_layers)
     ones = jnp.ones((send.shape[0], 1), s.dtype)
     m_all = jnp.concatenate([ms, mvx, mvy, mvz, ones], axis=-1)
-    r = segment_sum(m_all, recv, n, mask=emask)
+    if seg_plans is not None:
+        (r_perm, r_starts, r_local, r_cfg) = seg_plans["rcv"]
+        r = sorted_segment_sum(m_all, r_perm, r_starts, r_local, recv,
+                               emask, r_cfg)
+    else:
+        r = segment_sum(m_all, recv, n, mask=emask)
     mo, wv = ms.shape[1], mvx.shape[1]
     return (r[:, :mo], r[:, mo : mo + wv], r[:, mo + wv : mo + 2 * wv],
             r[:, mo + 2 * wv : mo + 3 * wv], r[:, mo + 3 * wv :])

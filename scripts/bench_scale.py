@@ -51,6 +51,7 @@ MODELS = {
                     edge_chunk=8192),
     "tfn_ff": dict(num_layers=4, emb_dim=64, max_ell=2, edge_chunk=8192),
     "gvp": dict(num_layers=4),
+    "gvp_sorted": dict(num_layers=4),
     "dimenet": dict(num_layers=4, triplet_chunk=262144),
     "spherenet": dict(num_layers=4, triplet_chunk=131072,
                       quad_chunk=1048576),
@@ -68,6 +69,7 @@ FALLBACKS = {
     "mace_ff": dict(emb_dim=32, edge_chunk=16384),
     "tfn_ff": dict(emb_dim=32, edge_chunk=16384),
     "gvp": dict(s_dim=64, v_dim=8),
+    "gvp_sorted": dict(s_dim=64, v_dim=8),
 }
 
 
@@ -78,6 +80,8 @@ def build(name, cfg, avg_deg):
     cfg = dict(cfg)
     if name == "egnn_sorted":
         return model_registry["egnn"](out_dim=1, in_dim=8, **cfg)
+    if name == "gvp_sorted":
+        return model_registry["gvp"](out_dim=1, in_dim=8, **cfg)
     if name == "schnet_sorted":
         return model_registry["schnet"](out_dim=1, in_dim=8, **cfg)
     if name == "egnn_fused":
@@ -108,7 +112,7 @@ def bench_one(name, cfg, batch, steps, reps=3):
     # HTTP 413 at these sizes)
     plan_cfgs = None
     plan_arrays = {}
-    if name in ("egnn_sorted", "schnet_sorted"):
+    if name in ("egnn_sorted", "schnet_sorted", "gvp_sorted"):
         from geometric_message_passing_tpu.ops.pallas_sorted_segsum import (
             batch_seg_plans)
 
@@ -219,7 +223,7 @@ def main():
                 # live per-chunk intermediates double while the
                 # accumulator set is already ~1.5 GB
                 cfg = {**cfg, "edge_chunk": 16384}
-            if name == "gvp" and n_nodes >= 30000:
+            if name in ("gvp", "gvp_sorted") and n_nodes >= 30000:
                 # full-width GVP at >=398k edges sits at the HBM edge
                 # (15.3 GB live chain activations); remat clears it
                 cfg = {**cfg, "remat": True}
@@ -236,7 +240,7 @@ def main():
                 # ~1-2 min execution kill at ~36 s/step)
                 cfg = {**cfg, "edge_chunk": 65536, "rbf_in_chunk": True}
                 m_steps = 1
-            if name in ("egnn_sorted", "schnet_sorted"):
+            if name in ("egnn_sorted", "schnet_sorted", "gvp_sorted"):
                 from geometric_message_passing_tpu.graph import (
                     sort_edges_by_receiver)
 

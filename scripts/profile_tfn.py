@@ -28,7 +28,7 @@ from geometric_message_passing_tpu.models import TFNModel
 from geometric_message_passing_tpu.ops.scatter import segment_sum
 from geometric_message_passing_tpu.ops.spherical import spherical_harmonics
 
-ITERS = 50
+ITERS = int(os.environ.get("GMP_PROFILE_ITERS", "50"))
 
 
 def timed(name, fn, *args):
